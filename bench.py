@@ -1,0 +1,75 @@
+"""Benchmark: graphs/sec/chip for the full training step (fwd+ELBO+bwd+Adam)
+at the reference operating point — synthetic2 preset, N=25, batch=10 graphs x
+10 spanning-tree samples (reference main.py:169-217, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` compares against the TF1-CPU reference throughput measured
+once at the same operating point (see BASELINE.md; the reference publishes no
+numbers, so the baseline is established empirically).  Set the environment
+variable SND_BASELINE_GRAPHS_PER_SEC to override.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snd_vae_tpu.config import synthetic2_preset
+from snd_vae_tpu.data import loaders
+from snd_vae_tpu.models import build_model
+from snd_vae_tpu.train import init_state, make_optimizer, make_train_step
+
+# Empirical TF-reference baseline in graphs/sec (train step, same operating
+# point).  Measured with the dense-materialization reference algorithm; see
+# BASELINE.md for the measurement recipe and recorded value.
+DEFAULT_BASELINE_GRAPHS_PER_SEC = float(
+    os.environ.get("SND_BASELINE_GRAPHS_PER_SEC", "33.1")
+)
+
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    cfg = synthetic2_preset()
+    B = cfg.train.batch_size  # 10 graphs x sampling_num=10 trees
+    batch = loaders.load_dataset(cfg, "train", num_graphs=B)
+    batch = batch.slice_batch(0, B)
+
+    model, state = init_state(cfg, batch)
+    train_step = make_train_step(cfg, model, make_optimizer(cfg))
+    gi = jnp.asarray(0.0)
+
+    # warmup / compile
+    for _ in range(WARMUP_STEPS):
+        state, aux = train_step(state, batch, gi)
+    jax.block_until_ready(aux["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, aux = train_step(state, batch, gi)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    graphs_per_sec = MEASURE_STEPS * B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_graphs_per_sec_per_chip",
+                "value": round(graphs_per_sec, 2),
+                "unit": "graphs/s",
+                "vs_baseline": round(graphs_per_sec / DEFAULT_BASELINE_GRAPHS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""CLI experiment driver.
+
+Mirrors the reference's ``main.py`` surface — run types
+``train / test_reconstruct / test_generation / test_disentangle / sample``
+(main.py:90, 283-499) and the ``__main__`` sweep over types x models
+(main.py:502-525) — on top of the functional Trainer/model API.
+
+Usage:
+  python -m snd_vae_tpu.cli --dataset synthetic2 --model-type disentangled \
+      --type train --epochs 50
+  python -m snd_vae_tpu.cli --type sweep          # the reference __main__
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from . import config as cfg_mod
+from .config import Config
+from .data import loaders
+from .evaluate import (
+    disentangle_evaluation,
+    generation_evaluation,
+    reconstruct_evaluation,
+)
+from .models import build_model
+from .models import traversal as trav
+from .train import Trainer, init_state, make_eval_step
+from .visualize import visualize_reconstruct, visualize_traverse
+
+
+def _build_cfg(args) -> Config:
+    cfg = cfg_mod.preset(args.dataset)
+    over = {}
+    if args.model_type:
+        over["model_type"] = args.model_type
+    if args.epochs is not None:
+        over["train"] = cfg.train.__class__(
+            **{**cfg.train.__dict__, "epochs": args.epochs}
+        )
+    if args.dataset_path:
+        over["dataset_path"] = args.dataset_path
+    if over:
+        cfg = cfg.with_(**over)
+    if args.beta is not None:
+        cfg = cfg.with_(loss=cfg.loss.__class__(**{**cfg.loss.__dict__, "beta": args.beta}))
+    return cfg
+
+
+def run_train(cfg: Config, workdir: str, epochs: Optional[int] = None) -> Dict[str, float]:
+    batch = loaders.load_dataset(cfg, "train")
+    trainer = Trainer(cfg, batch, workdir=workdir)
+    return trainer.run(epochs=epochs)
+
+
+def _restore_for_eval(cfg: Config, workdir: str):
+    from .checkpoint import Checkpointer
+
+    batch = loaders.load_dataset(cfg, "test")
+    model, state = init_state(cfg, batch)
+    ckpt_dir = os.path.join(
+        workdir, cfg.train.checkpoint_dir, f"{cfg.dataset}_{cfg.model_type}"
+    )
+    ck = Checkpointer(ckpt_dir)
+    if ck.latest_step() is not None:
+        state = ck.restore(state, cfg.train.restore_epoch)
+    else:
+        print(
+            f"WARNING: no checkpoint under {ckpt_dir}; evaluating an "
+            "untrained model (run --type train first)",
+            flush=True,
+        )
+    return batch, model, state
+
+
+def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
+    """Posterior-mean reconstruction + latent dumps + metrics
+    (main.py:374-426)."""
+    batch, model, state = _restore_for_eval(cfg, workdir)
+    eval_step = make_eval_step(cfg, model)
+    B = cfg.train.batch_size
+    G = batch.batch_size
+    outs, zs, zgs, zsgs = [], [], [], []
+    for i in range(max(G // B, 1)):
+        b = batch.slice_batch(i * B, B)
+        out = eval_step(state.params, b)
+        outs.append(jax.device_get(out.decoded))
+        if out.stats.mean_s is not None:
+            zs.append(np.asarray(out.stats.mean_s))
+            zgs.append(np.asarray(out.stats.mean_g))
+        # sg averaged over samples as the reference does (main.py:407)
+        zsgs.append(np.asarray(out.stats.mean_sg).mean(axis=1))
+    gen_adj = np.concatenate([o.adj for o in outs])
+    gen_nodes = np.concatenate([o.node_feat for o in outs])
+    gen_spatial = np.concatenate([o.coords for o in outs])
+    adj_scores = np.concatenate([
+        np.asarray(jax.nn.softmax(o.adj_prob, axis=-1))[..., 1] for o in outs
+    ])
+
+    qdir = os.path.join(workdir, "qualitative_evaluation", cfg.dataset)
+    os.makedirs(qdir, exist_ok=True)
+    vt = cfg.model_type
+    np.save(os.path.join(qdir, f"{vt}_z_sg.npy"), np.concatenate(zsgs))
+    if zs:
+        np.save(os.path.join(qdir, f"{vt}_z_s.npy"), np.concatenate(zs))
+        np.save(os.path.join(qdir, f"{vt}_z_g.npy"), np.concatenate(zgs))
+
+    n_eval = len(gen_adj)
+    results = reconstruct_evaluation(
+        gen_adj, gen_nodes, gen_spatial,
+        np.asarray(batch.adj)[:n_eval],
+        np.asarray(batch.features)[:n_eval],
+        np.asarray(batch.coords)[:n_eval],
+        cfg.dataset, adj_scores=adj_scores,
+    )
+    if batch.factors is not None and zs:
+        results.update(
+            disentangle_evaluation(
+                np.concatenate(zs), np.concatenate(zgs), np.concatenate(zsgs),
+                np.asarray(batch.factors)[:n_eval], cfg.dataset,
+            )
+        )
+    fig = visualize_reconstruct(
+        5, np.asarray(batch.adj), np.asarray(batch.features),
+        np.asarray(batch.coords), gen_adj, gen_nodes, gen_spatial,
+        save_path=os.path.join(workdir, "figures", f"reconstruct_{cfg.dataset}.png"),
+    )
+    return results
+
+
+def run_test_generation(cfg: Config, workdir: str) -> Dict[str, float]:
+    """Decode-from-prior + graph-statistic metrics (main.py:428-469)."""
+    batch, model, state = _restore_for_eval(cfg, workdir)
+    key = jax.random.PRNGKey(cfg.train.seed + 1)
+    num = batch.batch_size
+
+    decoded = model.apply(
+        {"params": state.params}, key, num, method=type(model).generate
+    )
+    gen_adj = np.asarray(decoded.adj)
+    gen_nodes = np.asarray(decoded.node_feat)
+    gen_spatial = np.asarray(decoded.coords)
+    return generation_evaluation(
+        gen_adj, gen_nodes, gen_spatial,
+        np.asarray(batch.adj), np.asarray(batch.features), np.asarray(batch.coords),
+        cfg.dataset,
+    )
+
+
+def run_test_disentangle(cfg: Config, workdir: str) -> str:
+    """Three-group latent traversal + grid figure (main.py:473-497)."""
+    batch, model, state = _restore_for_eval(cfg, workdir)
+    qdir = os.path.join(workdir, "qualitative_evaluation")
+    z_s, z_g, z_sg = trav.load_saved_latents(cfg, qdir, cfg.model_type)
+    latents = trav.traverse_generation(cfg, z_s, z_g, z_sg)
+    decoded = model.apply(
+        {"params": state.params}, latents, method=type(model).decode
+    )
+    path = os.path.join(workdir, "figures", f"traverse_{cfg.dataset}.png")
+    # denormalization mirrors main.py:492-497 (x120 features, x600 coords)
+    visualize_traverse(
+        np.asarray(decoded.adj), np.asarray(decoded.node_feat) * 120,
+        np.asarray(decoded.coords) * 600, 3, cfg.visualize_length, cfg.dataset,
+        save_path=path,
+    )
+    return path
+
+
+def run_sweep(cfg: Config, workdir: str, epochs: Optional[int] = None) -> Dict:
+    """The reference __main__ sweep (main.py:502-525)."""
+    results = {"generation": {}, "reconstruct": {}}
+    run_train(cfg, workdir, epochs=epochs)
+    results["reconstruct"][cfg.model_type] = run_test_reconstruct(cfg, workdir)
+    results["generation"][cfg.model_type] = run_test_generation(cfg, workdir)
+    print(json.dumps(results, indent=2, default=float))
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SND-VAE TPU experiment driver")
+    p.add_argument("--dataset", default="synthetic2", choices=list(cfg_mod.PRESETS))
+    p.add_argument("--model-type", default=None, choices=list(cfg_mod.MODEL_TYPES))
+    p.add_argument(
+        "--type", default="train",
+        choices=["train", "test_reconstruct", "test_generation",
+                 "test_disentangle", "sample", "sweep"],
+    )
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--dataset-path", default=None)
+    p.add_argument("--workdir", default=".")
+    args = p.parse_args(argv)
+
+    cfg = _build_cfg(args)
+    if args.type == "train":
+        out = run_train(cfg, args.workdir, epochs=args.epochs)
+    elif args.type == "test_reconstruct":
+        out = run_test_reconstruct(cfg, args.workdir)
+    elif args.type == "test_generation":
+        out = run_test_generation(cfg, args.workdir)
+    elif args.type == "test_disentangle":
+        out = run_test_disentangle(cfg, args.workdir)
+    elif args.type == "sample":
+        _, model, state = _restore_for_eval(cfg, args.workdir)
+        decoded = model.apply(
+            {"params": state.params}, jax.random.PRNGKey(0), cfg.train.batch_size,
+            method=type(model).generate,
+        )
+        out = {"adj_shape": list(np.asarray(decoded.adj).shape)}
+    else:
+        out = run_sweep(cfg, args.workdir, epochs=args.epochs)
+    print(json.dumps(out, default=float) if not isinstance(out, str) else out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

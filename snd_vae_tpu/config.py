@@ -1,0 +1,297 @@
+"""Immutable configuration for the SND-VAE TPU framework.
+
+Replaces the reference's ~40 mutable ``tf.app.flags`` definitions
+(``/root/reference/main.py:39-103``) and its per-dataset flag-mutation blocks
+(``main.py:136-241``, duplicated in ``hyperparamters.py``) with frozen
+dataclasses.  Runtime flag mutation in the reference (e.g. the
+``sg_batch_size *= sampling_num`` bookkeeping at ``model.py:100-101``) becomes
+explicit ``[B, S, N, ...]`` shape handling in the models, so no config field is
+ever mutated after construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Enumerations (plain strings, validated on construction)
+# ---------------------------------------------------------------------------
+
+MODEL_TYPES = (
+    "base",            # joint single-latent model (reference model_joint.py)
+    "disentangled",    # 3-branch beta-VAE          (reference model.py)
+    "disentangled_C",  # capacity-annealed KL       (optimizer.py:166-174)
+    "NED-VAE-IP",      # DIP-VAE covariance penalty (optimizer.py:176-182)
+    "beta-TCVAE",      # total-correlation penalty  (optimizer.py:184-190)
+    "geoGCN",          # geometric-GCN encoder baseline (layers.py:606-619)
+    "posGCN",          # positional/structural GCN baseline (layers.py:759-784)
+)
+
+DATASETS = ("synthetic1", "synthetic2", "synthetic3", "protein", "mnist", "scene")
+
+RUN_TYPES = (
+    "train",
+    "test_reconstruct",
+    "test_generation",
+    "test_disentangle",
+    "sample",
+)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Encoder architecture.
+
+    Mirrors the reference flags: ``spatial_conv_layers``/``s_channel``/
+    ``s_kernel_size``/``s_strides``/``s_hidden_size``/``s_latent_size`` (s-branch),
+    ``graph_conv_layers``/``g_conv_hidden``/``g_hidden_size``/``g_latent_size``
+    (g-branch), ``spatial_graph_conv_layers``/``sg_conv_hidden``/
+    ``sg_hidden_size``/``sg_latent_size`` (sg-branch) — /root/reference/main.py:42-57.
+    """
+
+    # spatial (coordinate) branch: 1D convs over the node axis
+    s_channels: Tuple[int, ...] = (10, 10, 20)
+    s_kernel_sizes: Tuple[int, ...] = (5, 5, 5)
+    s_strides: Tuple[int, ...] = (1, 1, 1)
+    s_hidden_size: int = 100
+    s_latent_size: int = 100
+
+    # topology (graph) branch: stacked graph convolutions
+    g_conv_hidden: Tuple[int, ...] = (10, 20)
+    g_hidden_size: int = 100
+    g_latent_size: int = 100
+
+    # joint spatial-graph branch: spatial-motif graph convolutions
+    sg_conv_hidden: Tuple[Tuple[int, ...], ...] = ((20, 20, 20), (50, 50, 50))
+    sg_hidden_size: int = 100
+    sg_latent_size: int = 100
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Decoder architecture.
+
+    Mirrors flags ``spatial_deconv_layers``/``s_d_*`` (coordinate head),
+    ``graph_deconv_layers``/``n_d_*``/``e_d_hidden`` (feature/adjacency heads)
+    and ``node_h_size`` — /root/reference/main.py:59-71.
+    """
+
+    node_h_size: int = 20
+    # coordinate head (1D convs)
+    s_d_channels: Tuple[int, ...] = (50, 20, 10)
+    s_d_kernel_sizes: Tuple[int, ...] = (5, 5, 5)
+    s_d_strides: Tuple[int, ...] = (1, 1, 1)
+    # node-feature head (1D convs); reference uses the first
+    # ``graph_deconv_layers`` entries of ``n_d_channel`` (main.py:64-67)
+    n_d_channels: Tuple[int, ...] = (50, 20)
+    n_d_kernel_sizes: Tuple[int, ...] = (5, 5)
+    n_d_strides: Tuple[int, ...] = (1, 1)
+    # adjacency head (edge-to-edge convs)
+    e_d_hidden: Tuple[int, ...] = (50, 20)
+    # scene dataset: categorical edges with this many classes
+    num_edge_feature: int = 2
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """ELBO / regularizer configuration (reference optimizer.py:123-203)."""
+
+    beta: float = 1.0
+    # capacity-annealed KL (disentangled_C; optimizer.py:166-174, flags main.py:95-98)
+    c_max: float = 100.0
+    c_stop_iter: float = 100.0
+    c_step: float = 20.0
+    gamma: float = 100.0
+    # DIP-VAE (NED-VAE-IP; optimizer.py:181)
+    dip_lambda_od: float = 10.0
+    dip_lambda_d: float = 100.0
+    # beta-TCVAE weight (optimizer.py:190)
+    tc_weight: float = 10.0
+    # optional weighted-BCE edge loss: the reference computes pos_weight/norm
+    # (main.py:246-247) but never uses them (optimizer.py:124); we expose the
+    # capability behind this switch, defaulting to the reference's 2-class CE.
+    use_weighted_bce: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 0.001
+    epochs: int = 2000
+    batch_size: int = 10          # graphs per step (flag batch_size)
+    dropout_keep_prob: float = 1.0  # reference 'dropout' flag is a keep-prob
+    checkpoint_every: int = 100   # epochs between checkpoints (main.py:351)
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    seed: int = 1                 # np.random.seed(1) at main.py:124-125
+    restore_epoch: Optional[int] = None  # None = latest
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map execution.
+
+    The reference is single-device (main.py:34-37); this is the TPU-native
+    scaling surface.  ``data`` shards the graph batch; ``model`` shards wide
+    hidden/latent dims of the dense projections and the node axis of the
+    blocked large-N ops.
+    """
+
+    data: int = 1
+    model: int = 1
+    # shard the spanning-tree sample axis S over 'model' when True and the
+    # model axis divides S; otherwise 'model' shards hidden dims.
+    shard_samples: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    model_type: str = "disentangled"
+    dataset: str = "synthetic2"
+    dataset_path: str = "../dataset/"
+
+    num_nodes: int = 25
+    num_features: int = 1
+    spatial_dim: int = 2
+    rel_dim: int = 1
+    sampling_num: int = 10        # spanning trees per graph (flag sampling_num)
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # latent-traversal controls (flags main.py:91-103)
+    visualize_length: int = 5
+    traverse_dims: Tuple[int, int, int] = (77, 48, 171)  # dim_a/b/c, main.py:482
+
+    # behavior switches ------------------------------------------------------
+    # parity=True reproduces reference quirks exactly (frozen batch-norm,
+    # mean-KL, logσ convention); parity=False enables corrected defaults.
+    parity: bool = True
+    # reference pairs spanning-tree samples with the wrong graph's features
+    # (np.tile vs grouped reshape skew, main.py:132 vs main.py:307-309).  We
+    # pair correctly by default; set True to reproduce the skew for parity
+    # comparisons of the data pipeline.
+    reproduce_pairing_skew: bool = False
+    # compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity)
+    compute_dtype: str = "float32"
+    # use the fused Pallas motif kernel when shapes allow (TPU only)
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.model_type not in MODEL_TYPES:
+            raise ValueError(f"model_type {self.model_type!r} not in {MODEL_TYPES}")
+        if self.dataset not in DATASETS:
+            raise ValueError(f"dataset {self.dataset!r} not in {DATASETS}")
+
+    # convenience ------------------------------------------------------------
+    @property
+    def is_disentangled(self) -> bool:
+        return self.model_type != "base"
+
+    @property
+    def uses_3d_conv(self) -> bool:
+        """Protein/mnist use the fourth-order conv (reference model.py:139-140)."""
+        return self.dataset in ("protein", "mnist")
+
+    def with_(self, **kw) -> "Config":
+        return replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Per-dataset presets — mirror the flag-override blocks in main.py:136-241
+# ---------------------------------------------------------------------------
+
+def synthetic1_preset(**overrides) -> Config:
+    """Best hyperparameters for synthetic1 (main.py:136-172)."""
+    cfg = Config(
+        dataset="synthetic1",
+        num_nodes=25,
+        spatial_dim=2,
+        encoder=EncoderConfig(sg_hidden_size=500, sg_latent_size=500),
+        decoder=DecoderConfig(node_h_size=50),
+        train=TrainConfig(learning_rate=0.001, epochs=1000, batch_size=10),
+    )
+    return cfg.with_(**overrides)
+
+
+def synthetic2_preset(**overrides) -> Config:
+    """Best hyperparameters for synthetic2 (main.py:173-217)."""
+    cfg = Config(
+        dataset="synthetic2",
+        num_nodes=25,
+        spatial_dim=2,
+        encoder=EncoderConfig(sg_hidden_size=100, sg_latent_size=100),
+        decoder=DecoderConfig(node_h_size=20),
+        train=TrainConfig(learning_rate=0.0008, epochs=1000, batch_size=10),
+    )
+    return cfg.with_(**overrides)
+
+
+def protein_preset(**overrides) -> Config:
+    """Protein preset (main.py:218-236): 3D coords, fourth-order sg-conv."""
+    cfg = Config(
+        dataset="protein",
+        num_nodes=50,
+        spatial_dim=3,
+        encoder=EncoderConfig(
+            sg_conv_hidden=((10, 10, 10, 10), (20, 20, 20, 20)),
+            sg_hidden_size=50,
+            sg_latent_size=50,
+            s_hidden_size=5,
+            s_latent_size=5,
+            g_hidden_size=5,
+            g_latent_size=5,
+        ),
+        decoder=DecoderConfig(node_h_size=5),
+        train=TrainConfig(batch_size=50),
+    )
+    return cfg.with_(**overrides)
+
+
+def mnist_preset(**overrides) -> Config:
+    """3D-mesh mnist preset (main.py:237-241): N=50 sampled mesh points."""
+    cfg = Config(
+        dataset="mnist",
+        num_nodes=50,
+        spatial_dim=3,
+        encoder=EncoderConfig(
+            sg_conv_hidden=((20, 20, 20, 20), (50, 50, 50, 50)),
+        ),
+        train=TrainConfig(batch_size=2),
+    )
+    return cfg.with_(**overrides)
+
+
+def scene_preset(**overrides) -> Config:
+    """CLEVR scene preset (input_data.py:309-415): 10 objects, categorical
+    4+1-way directed relation edges, one-hot shape features, base model."""
+    cfg = Config(
+        dataset="scene",
+        model_type="base",
+        num_nodes=10,
+        num_features=3,
+        spatial_dim=3,
+        decoder=DecoderConfig(num_edge_feature=5),
+        train=TrainConfig(batch_size=2),
+    )
+    return cfg.with_(**overrides)
+
+
+PRESETS = {
+    "synthetic1": synthetic1_preset,
+    "synthetic2": synthetic2_preset,
+    "protein": protein_preset,
+    "mnist": mnist_preset,
+    "scene": scene_preset,
+}
+
+
+def preset(dataset: str, **overrides) -> Config:
+    try:
+        return PRESETS[dataset](**overrides)
+    except KeyError:
+        raise ValueError(f"no preset for dataset {dataset!r}; known: {list(PRESETS)}")

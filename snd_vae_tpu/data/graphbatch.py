@@ -1,0 +1,121 @@
+"""GraphBatch — the canonical pytree for a batch of spatial networks.
+
+Replaces the reference's eight parallel feed_dict arrays
+(``/root/reference/preprocessing.py:32-50``, placeholders at
+``main.py:252-264``) with one registered pytree carrying explicit
+``[B, S, N, ...]`` axes.  The reference folds the spanning-tree sample axis S
+into the batch axis via flag mutation (``model.py:100-101``) and ``np.tile``
+(``main.py:307-309``); here S is a real axis so the sample-to-graph pairing is
+correct by construction (SURVEY §7 quirk 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A batch of B spatial networks with N nodes each.
+
+    Attributes:
+      adj:      [B, N, N]   float — original (truth) adjacency, zero diagonal.
+      features: [B, N, F]   float — node attributes (normalized).
+      coords:   [B, N, D]   float — node coordinates (normalized).
+      rel:      [B, N, N, R] float — pairwise relation features (distances).
+      adj_samples: [B, S, N, N] float or None — spanning-tree augmentations
+          of ``adj`` (input_data.py:70-83).  None for datasets without the
+          augmentation (mnist: input_data.py:224-300).
+      factors:  [B, K] float or None — ground-truth generative factors
+          (2D_prop.npy, input_data.py:60) for disentanglement evaluation.
+      node_mask: [B, N] float or None — 1 for real nodes, 0 for padding.
+          None means all nodes are real (fixed-N datasets).
+    """
+
+    adj: jax.Array
+    features: jax.Array
+    coords: jax.Array
+    rel: jax.Array
+    adj_samples: Optional[jax.Array] = None
+    factors: Optional[jax.Array] = None
+    node_mask: Optional[jax.Array] = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.adj.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.adj.shape[1]
+
+    @property
+    def num_samples(self) -> int:
+        return 1 if self.adj_samples is None else self.adj_samples.shape[1]
+
+    def pair_mask(self) -> Optional[jax.Array]:
+        """[B, N, N] mask of real node pairs, or None if nothing is padded."""
+        if self.node_mask is None:
+            return None
+        return self.node_mask[:, :, None] * self.node_mask[:, None, :]
+
+    def slice_batch(self, start: int, size: int) -> "GraphBatch":
+        """Contiguous batch slice (the reference's batching, main.py:315-323)."""
+        take = lambda x: None if x is None else x[start : start + size]
+        return GraphBatch(
+            adj=take(self.adj),
+            features=take(self.features),
+            coords=take(self.coords),
+            rel=take(self.rel),
+            adj_samples=take(self.adj_samples),
+            factors=take(self.factors),
+            node_mask=take(self.node_mask),
+        )
+
+    def astype(self, dtype) -> "GraphBatch":
+        cast = lambda x: None if x is None else x.astype(dtype)
+        return GraphBatch(
+            adj=cast(self.adj),
+            features=cast(self.features),
+            coords=cast(self.coords),
+            rel=cast(self.rel),
+            adj_samples=cast(self.adj_samples),
+            factors=self.factors,
+            node_mask=cast(self.node_mask),
+        )
+
+
+def from_numpy(
+    adj: np.ndarray,
+    features: np.ndarray,
+    coords: np.ndarray,
+    rel: np.ndarray,
+    adj_samples: Optional[np.ndarray] = None,
+    factors: Optional[np.ndarray] = None,
+    node_mask: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> GraphBatch:
+    """Build a device GraphBatch from host arrays, normalizing shapes.
+
+    ``rel`` may be [B,N,N] (the on-disk layout, input_data.py:59) or
+    [B,N,N,R]; a trailing relation axis is added if missing
+    (mirrors the reshape at main.py:250).
+    """
+    if rel.ndim == 3:
+        rel = rel[..., None]
+    if features.ndim == 2:
+        features = features[..., None]
+    as_f = lambda x: None if x is None else jnp.asarray(x, dtype)
+    return GraphBatch(
+        adj=as_f(adj),
+        features=as_f(features),
+        coords=as_f(coords),
+        rel=as_f(rel),
+        adj_samples=as_f(adj_samples),
+        factors=None if factors is None else jnp.asarray(factors),
+        node_mask=as_f(node_mask),
+    )

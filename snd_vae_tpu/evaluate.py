@@ -1,0 +1,214 @@
+"""Evaluation suite — reconstruction of the reference's missing
+``utils/evaluation.py`` (imported at main.py:27, call sites main.py:423-424,
+467) from its observable signatures:
+
+  * ``reconstruct_evaluation(gen_adj, gen_nodes, gen_spatial, adj_truth,
+    feature_truth, spatial_truth, dataset)`` — edge AUC/AP (the sklearn
+    imports at main.py:13-14 signal this), edge accuracy/P/R/F1, node and
+    coordinate MSE.
+  * ``generation_evaluation(gen_adj, gen_nodes, gen_spatial, adj, feature,
+    spatial, dataset)`` — distributional comparison of generated vs. data
+    graphs: Gaussian-kernel MMD over degree / clustering-coefficient /
+    edge-length histograms plus density statistics.
+  * ``disentangle_evaluation(z_s, z_g, z_sg, factor, dataset)`` — latent-vs-
+    ground-truth-factor scores (factors from 2D_prop.npy, input_data.py:60):
+    per-branch max |correlation| per factor and a MIG-style gap.
+
+All host-side NumPy: these run once per eval, not in the train loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction metrics
+# ---------------------------------------------------------------------------
+
+def _off_diag(a: np.ndarray) -> np.ndarray:
+    n = a.shape[-1]
+    mask = ~np.eye(n, dtype=bool)
+    return a[..., mask]
+
+
+def reconstruct_evaluation(
+    gen_adj: np.ndarray,
+    gen_nodes: np.ndarray,
+    gen_spatial: np.ndarray,
+    adj_truth: np.ndarray,
+    feature_truth: np.ndarray,
+    spatial_truth: np.ndarray,
+    dataset: str = "",
+    adj_scores: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    from sklearn.metrics import average_precision_score, roc_auc_score
+
+    G = min(len(gen_adj), len(adj_truth))
+    y_true = _off_diag(np.asarray(adj_truth[:G])).reshape(-1) > 0.5
+    if adj_scores is not None:
+        y_score = _off_diag(np.asarray(adj_scores[:G])).reshape(-1)
+    else:
+        y_score = _off_diag(np.asarray(gen_adj[:G], dtype=np.float64)).reshape(-1)
+    y_pred = _off_diag(np.asarray(gen_adj[:G])).reshape(-1) > 0.5
+
+    out: Dict[str, float] = {}
+    if y_true.any() and not y_true.all():
+        out["edge_auc"] = float(roc_auc_score(y_true, y_score))
+        out["edge_ap"] = float(average_precision_score(y_true, y_score))
+    tp = float(np.sum(y_pred & y_true))
+    fp = float(np.sum(y_pred & ~y_true))
+    fn = float(np.sum(~y_pred & y_true))
+    out["edge_acc"] = float(np.mean(y_pred == y_true))
+    out["edge_precision"] = tp / max(tp + fp, 1.0)
+    out["edge_recall"] = tp / max(tp + fn, 1.0)
+    p, r = out["edge_precision"], out["edge_recall"]
+    out["edge_f1"] = 2 * p * r / max(p + r, 1e-12)
+    out["node_mse"] = float(
+        np.mean((np.asarray(gen_nodes[:G]) - np.asarray(feature_truth[:G]).reshape(gen_nodes[:G].shape)) ** 2)
+    )
+    out["spatial_mse"] = float(
+        np.mean((np.asarray(gen_spatial[:G]) - np.asarray(spatial_truth[:G])) ** 2)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generation metrics (graph-statistic MMDs)
+# ---------------------------------------------------------------------------
+
+def _degree_hist(adj: np.ndarray, bins: int) -> np.ndarray:
+    deg = adj.sum(-1)
+    h, _ = np.histogram(deg, bins=bins, range=(0, bins), density=True)
+    return h
+
+
+def _clustering_coeffs(adj: np.ndarray) -> np.ndarray:
+    """Per-node clustering coefficients for one binary adjacency."""
+    a = (adj > 0.5).astype(np.float64)
+    deg = a.sum(-1)
+    tri = np.diagonal(a @ a @ a)  # 2x triangles per node
+    denom = deg * (deg - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.where(denom > 0, tri / denom, 0.0)
+    return c
+
+
+def _edge_lengths(adj: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    i, j = np.nonzero(np.triu(adj > 0.5, 1))
+    if len(i) == 0:
+        return np.zeros(1)
+    return np.linalg.norm(coords[i] - coords[j], axis=-1)
+
+
+def gaussian_mmd(x: np.ndarray, y: np.ndarray, sigma: float = 1.0) -> float:
+    """MMD² with a Gaussian kernel between two sets of descriptor vectors."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+
+    def k(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / (2 * sigma**2))
+
+    return float(k(x, x).mean() + k(y, y).mean() - 2 * k(x, y).mean())
+
+
+def generation_evaluation(
+    gen_adj: np.ndarray,
+    gen_nodes: np.ndarray,
+    gen_spatial: np.ndarray,
+    adj: np.ndarray,
+    feature: np.ndarray,
+    spatial: np.ndarray,
+    dataset: str = "",
+) -> Dict[str, float]:
+    gen_adj = np.asarray(gen_adj)
+    adj = np.asarray(adj)
+    if adj.ndim == 4:  # [G,S,N,N] spanning-tree samples -> use originals only
+        adj = adj[:, 0]
+    n = gen_adj.shape[-1]
+    bins = n
+
+    deg_g = np.stack([_degree_hist(a, bins) for a in gen_adj])
+    deg_r = np.stack([_degree_hist(a, bins) for a in adj])
+    clus_g = np.stack([
+        np.histogram(_clustering_coeffs(a), bins=10, range=(0, 1), density=True)[0]
+        for a in gen_adj
+    ])
+    clus_r = np.stack([
+        np.histogram(_clustering_coeffs(a), bins=10, range=(0, 1), density=True)[0]
+        for a in adj
+    ])
+    G = min(len(gen_adj), len(gen_spatial))
+    el_g = np.stack([
+        np.histogram(_edge_lengths(gen_adj[i], np.asarray(gen_spatial)[i]),
+                     bins=10, range=(0, np.sqrt(gen_spatial.shape[-1])), density=True)[0]
+        for i in range(G)
+    ])
+    Gr = min(len(adj), len(spatial))
+    el_r = np.stack([
+        np.histogram(_edge_lengths(adj[i], np.asarray(spatial)[i]),
+                     bins=10, range=(0, np.sqrt(np.asarray(spatial).shape[-1])), density=True)[0]
+        for i in range(Gr)
+    ])
+
+    return {
+        "degree_mmd": gaussian_mmd(deg_g, deg_r),
+        "clustering_mmd": gaussian_mmd(clus_g, clus_r),
+        "edge_length_mmd": gaussian_mmd(el_g, el_r),
+        "density_gen": float(_off_diag(gen_adj).mean()),
+        "density_ref": float(_off_diag(adj).mean()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Disentanglement metrics
+# ---------------------------------------------------------------------------
+
+def _abs_corr(z: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """|Pearson correlation| matrix between latent dims and factors.
+    Returns [L, K]."""
+    z = np.asarray(z, dtype=np.float64)
+    f = np.asarray(f, dtype=np.float64)
+    zc = z - z.mean(0)
+    fc = f - f.mean(0)
+    zs = zc.std(0) + 1e-12
+    fs = fc.std(0) + 1e-12
+    return np.abs((zc / zs).T @ (fc / fs)) / len(z)
+
+
+def disentangle_evaluation(
+    z_s: np.ndarray,
+    z_g: np.ndarray,
+    z_sg: np.ndarray,
+    factor: np.ndarray,
+    dataset: str = "",
+) -> Dict[str, float]:
+    """Latent-vs-factor scores.  For each ground-truth factor, report the
+    strongest correlating latent dimension per branch, plus a MIG-style gap
+    (top-1 minus top-2 correlation, normalized) over the concatenated space."""
+    reshape2 = lambda z: np.asarray(z).reshape(-1, np.asarray(z).shape[-1])
+    z_s, z_g, z_sg = reshape2(z_s), reshape2(z_g), reshape2(z_sg)
+    factor = np.asarray(factor, dtype=np.float64)
+    if factor.ndim == 1:
+        factor = factor[:, None]
+    n = min(len(z_s), len(z_g), len(z_sg), len(factor))
+    z_s, z_g, z_sg, factor = z_s[:n], z_g[:n], z_sg[:n], factor[:n]
+
+    out: Dict[str, float] = {}
+    for name, z in (("s", z_s), ("g", z_g), ("sg", z_sg)):
+        c = _abs_corr(z, factor)  # [L, K]
+        for k in range(factor.shape[1]):
+            out[f"{name}_factor{k}_maxcorr"] = float(c[:, k].max())
+
+    z_all = np.concatenate([z_s, z_g, z_sg], axis=1)
+    c_all = _abs_corr(z_all, factor)
+    gaps = []
+    for k in range(factor.shape[1]):
+        top = np.sort(c_all[:, k])[::-1]
+        if len(top) >= 2 and top[0] > 0:
+            gaps.append((top[0] - top[1]) / top[0])
+    out["mig_gap"] = float(np.mean(gaps)) if gaps else 0.0
+    return out

@@ -1,0 +1,177 @@
+"""The joint (non-disentangled) SND-VAE — single latent z_sg.
+
+Rebuilds ``model_joint.py::SGCNModelVAE`` (/root/reference/model_joint.py:11-206)
+— note the reference naming inversion: *model_joint.py is the baseline* "base"
+model (SURVEY §2.5).  Single sg-encoder (stacked SpatialGraphConv + dropout,
+model_joint.py:72-85), one latent, and a three-headed decoder from the joint
+per-node state alone (model_joint.py:94-182) including the scene-dataset
+branches: linear (non-sigmoid) coordinates for synthetic3/scene
+(:118-121), softmax-categorical node features (:140-145), and
+``num_edge_feature``-way categorical edges (:171-179).
+
+The reference reads the undeclared ``FLAGS.num_edge_feature`` flag
+unconditionally at :171 (a latent crash, SURVEY §2.5); here it is the
+explicit ``DecoderConfig.num_edge_feature`` (2 reproduces the binary-edge
+behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..data.graphbatch import GraphBatch
+from .. import nn as ops
+from .outputs import DecodedGraph, Latents, LatentStats, ModelOutput
+
+
+class JointSNDVAE(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        enc, dec = cfg.encoder, cfg.decoder
+        norm = lambda: ops.make_norm(cfg.parity)
+        N = cfg.num_nodes
+
+        if cfg.uses_3d_conv:
+            self.sg_convs = [
+                ops.SpatialGraphConv3D(tuple(h)) for h in enc.sg_conv_hidden
+            ]
+        else:
+            self.sg_convs = [ops.SpatialGraphConv(tuple(h)) for h in enc.sg_conv_hidden]
+        self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
+        self.sg_lin1 = ops.Dense(enc.sg_hidden_size)
+        self.sg_lin_mean = ops.Dense(enc.sg_latent_size)
+        self.sg_lin_std = ops.Dense(enc.sg_latent_size)
+
+        self.d_sg_lin1 = ops.Dense(N * dec.node_h_size)
+
+        self.s_deconvs = [
+            ops.Conv1D(c, k, s)
+            for c, k, s in zip(dec.s_d_channels, dec.s_d_kernel_sizes, dec.s_d_strides)
+        ]
+        self.d_bn_s = [norm() for _ in dec.s_d_channels]
+        self.d_s_lin2 = ops.Dense(cfg.spatial_dim)
+
+        self.n_deconvs = [
+            ops.Conv1D(c, k, s)
+            for c, k, s in zip(dec.n_d_channels, dec.n_d_kernel_sizes, dec.n_d_strides)
+        ]
+        self.d_bn_n = [norm() for _ in dec.n_d_channels]
+        self.d_n_lin2 = ops.Dense(cfg.num_features)
+
+        self.e_deconvs = [ops.E2E(h, k_h=N) for h in dec.e_d_hidden]
+        self.d_bn_e = [norm() for _ in dec.e_d_hidden]
+        self.d_e_lin2 = ops.Dense(dec.num_edge_feature)
+
+    # ------------------------------------------------------------------ #
+    def __call__(
+        self,
+        batch: GraphBatch,
+        key: Optional[jax.Array] = None,
+        sample_prior: bool = False,
+        deterministic_z: bool = False,
+        dropout_keep: float = 1.0,
+    ) -> ModelOutput:
+        stats = self.encode(batch, key=key, dropout_keep=dropout_keep)
+        if sample_prior:
+            z_sg = jax.random.normal(key, stats.mean_sg.shape)
+        elif deterministic_z:
+            z_sg = stats.mean_sg
+        else:
+            z_sg = stats.mean_sg + jax.random.normal(
+                key, stats.mean_sg.shape
+            ) * jnp.exp(stats.logstd_sg)
+        latents = Latents(z_sg=z_sg)
+        decoded = self.decode(latents)
+        return ModelOutput(stats=stats, latents=latents, decoded=decoded)
+
+    def encode(
+        self,
+        batch: GraphBatch,
+        key: Optional[jax.Array] = None,
+        dropout_keep: float = 1.0,
+    ) -> LatentStats:
+        """Single joint branch over the truth graph (model_joint.py:72-85)."""
+        B = batch.batch_size
+        sg = batch.features
+        for i, (conv, bn) in enumerate(zip(self.sg_convs, self.sg_bns)):
+            sg = ops.lrelu(bn(conv(batch.adj, sg, batch.rel)))
+            if dropout_keep < 1.0 and key is not None:
+                sg = ops.dropout(
+                    sg, dropout_keep, jax.random.fold_in(key, i), deterministic=False
+                )
+        sg_ = self.sg_lin1(sg.reshape(B, -1))
+        mean = self.sg_lin_mean(sg_)
+        logstd = self.sg_lin_std(sg_)
+        # one-sample axis keeps the latent layout uniform with the
+        # disentangled model's [B, S, L]
+        return LatentStats(mean_sg=mean[:, None, :], logstd_sg=logstd[:, None, :])
+
+    def decode(self, latents: Latents) -> DecodedGraph:
+        cfg = self.cfg
+        dec = cfg.decoder
+        N = cfg.num_nodes
+        z_sg = latents.z_sg
+        B = z_sg.shape[0]
+        joint_h = self.d_sg_lin1(z_sg.reshape(B, -1)).reshape(B, N, dec.node_h_size)
+
+        # coordinate head (model_joint.py:112-123)
+        sp = joint_h
+        for conv, bn in zip(self.s_deconvs, self.d_bn_s):
+            sp = ops.lrelu(bn(conv(sp)))
+        sp_flat = sp.reshape(B * N, -1)
+        if cfg.dataset in ("synthetic3", "scene"):
+            coords = self.d_s_lin2(sp_flat).reshape(B, N, -1)
+        else:
+            coords = jax.nn.sigmoid(self.d_s_lin2(sp_flat)).reshape(B, N, -1)
+
+        # node-feature head (model_joint.py:129-145)
+        x = joint_h
+        for conv, bn in zip(self.n_deconvs, self.d_bn_n):
+            x = ops.lrelu(bn(conv(x)))
+        node_logits = self.d_n_lin2(x.reshape(B * N, -1))
+        if cfg.dataset == "scene":
+            node_feat_prob = node_logits.reshape(B, N, -1)
+            node_feat = jnp.argmax(
+                jax.nn.softmax(node_feat_prob, axis=-1), axis=-1
+            ).astype(node_logits.dtype)[..., None]
+        else:
+            node_feat_prob = None
+            node_feat = jax.nn.sigmoid(node_logits).reshape(B, N, -1)
+
+        # adjacency head (model_joint.py:164-179)
+        t1 = jnp.broadcast_to(joint_h[:, :, None, :], (B, N, N, joint_h.shape[-1]))
+        t2 = jnp.broadcast_to(joint_h[:, None, :, :], (B, N, N, joint_h.shape[-1]))
+        t = jnp.concatenate([t1, t2], axis=-1)
+        for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
+            t = bn(t)
+            t = e2e(jax.nn.relu(t))
+        logits = self.d_e_lin2(jax.nn.relu(t).reshape(B * N * N, -1)).reshape(
+            B, N, N, -1
+        )
+        if cfg.dataset == "scene":
+            adj_prob = logits
+        else:
+            off_diag = 1.0 - jnp.eye(N, dtype=logits.dtype)
+            prob1 = off_diag * logits[..., 1]
+            prob0 = off_diag * logits[..., 0] + (1.0 - off_diag)
+            adj_prob = jnp.stack([prob0, prob1], axis=-1)
+        adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
+
+        return DecodedGraph(
+            adj=adj,
+            adj_prob=adj_prob,
+            coords=coords,
+            node_feat=node_feat,
+            node_feat_prob=node_feat_prob,
+        )
+
+    def generate(self, key: jax.Array, num: int) -> DecodedGraph:
+        z = jax.random.normal(key, (num, 1, self.cfg.encoder.sg_latent_size))
+        return self.decode(Latents(z_sg=z))

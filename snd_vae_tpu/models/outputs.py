@@ -1,0 +1,49 @@
+"""Typed containers for model outputs (replaces the reference's loose
+attribute surface ``z_mean_{s,g,sg}`` / ``generated_*`` set in ``_build``,
+model.py:76-95)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from flax import struct
+
+
+@struct.dataclass
+class LatentStats:
+    """Per-branch posterior parameters.  ``std`` fields hold logσ consumed as
+    exp(logσ) — the reference's convention (model.py:153-161, SURVEY §7
+    quirk 4).  Branch fields are None for the joint (base) model."""
+
+    mean_sg: jax.Array                 # [B, S, L_sg] (S=1 when no sampling axis)
+    logstd_sg: jax.Array
+    mean_s: Optional[jax.Array] = None   # [B, L_s]
+    logstd_s: Optional[jax.Array] = None
+    mean_g: Optional[jax.Array] = None   # [B, L_g]
+    logstd_g: Optional[jax.Array] = None
+
+
+@struct.dataclass
+class Latents:
+    z_sg: jax.Array                    # [B, S, L_sg]
+    z_s: Optional[jax.Array] = None    # [B, L_s]
+    z_g: Optional[jax.Array] = None    # [B, L_g]
+
+
+@struct.dataclass
+class DecodedGraph:
+    """The decoder's three heads (model.py:172-222)."""
+
+    adj: jax.Array          # [B, N, N] hard 0/1 edges (argmax)
+    adj_prob: jax.Array     # [B, N, N, C] edge-class logits (diag-masked)
+    coords: jax.Array       # [B, N, D]
+    node_feat: jax.Array    # [B, N, F]
+    node_feat_prob: Optional[jax.Array] = None  # scene: categorical logits
+
+
+@struct.dataclass
+class ModelOutput:
+    stats: Optional[LatentStats]
+    latents: Latents
+    decoded: DecodedGraph

@@ -1,0 +1,219 @@
+"""Edge/node conv ops (BrainNetCNN-style) and their transposed counterparts.
+
+Rebuilds layers.py's conv-op family on ``lax.conv_general_dilated`` /
+``lax.conv_transpose``:
+
+  * ``E2E``   — edge-to-edge: a 1xN conv plus the same weights transposed to
+                Nx1, shared bias, summed (layers.py:431-450).  Decoder
+                adjacency head.
+  * ``E2N``   — edge-to-node 1xN VALID conv (layers.py:452-461)
+  * ``N2N``   — node-to-node 1xk VALID conv (layers.py:412-420)
+  * ``N2GAdj``— node-to-graph Nx1 VALID conv (layers.py:463-471)
+  * ``DeN2G`` / ``DeE2N`` / ``DeN2N`` / ``DeE2E`` — conv2d_transpose
+                counterparts (layers.py:473-564)
+  * ``N2GPool`` / ``G2NBroadcast`` — the diag-masked pooling pair
+                (layers.py:362-396)
+
+Inputs are [B, H, W, C] (NHWC) like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import init as inits
+
+
+def _conv2d(x, w, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _conv2d_transpose(x, w, padding):
+    # tf.nn.conv2d_transpose(filter=[h,w,out,in]) == lax.conv_transpose with
+    # kernel [h,w,in,out] and transpose_kernel=True semantics.
+    return jax.lax.conv_transpose(
+        x, w, strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+class E2E(nn.Module):
+    """Edge-to-edge conv (layers.py:431-450): row conv + column conv with the
+    spatially transposed *same* weights and *same* bias, summed."""
+
+    features: int
+    k_h: int
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w1 = self.param(
+            "w1", inits.truncated_normal(self.stddev),
+            (1, self.k_h, x.shape[-1], self.features),
+        )
+        b1 = self.param("biases1", inits.zeros, (self.features,))
+        conv1 = _conv2d(x, w1, "SAME") + b1
+        conv2 = _conv2d(x, jnp.transpose(w1, (1, 0, 2, 3)), "SAME") + b1
+        return conv1 + conv2
+
+
+class E2N(nn.Module):
+    """Edge-to-node 1xN VALID conv (layers.py:452-461): [B,N,N,C]->[B,N,1,F]."""
+
+    features: int
+    k_h: int = 50
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "w", inits.truncated_normal(self.stddev),
+            (1, self.k_h, x.shape[-1], self.features),
+        )
+        b = self.param("biases", inits.zeros, (self.features,))
+        return _conv2d(x, w, "VALID") + b
+
+
+class N2N(nn.Module):
+    """Node-to-node 1xk VALID conv (layers.py:412-420)."""
+
+    features: int
+    k_h: int
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "w", inits.truncated_normal(self.stddev),
+            (1, self.k_h, x.shape[-1], self.features),
+        )
+        b = self.param("bias", inits.zeros, (self.features,))
+        return _conv2d(x, w, "VALID") + b
+
+
+class N2GAdj(nn.Module):
+    """Node-to-graph Nx1 VALID conv (layers.py:463-471); returns (out, w)."""
+
+    features: int
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        w = self.param(
+            "w", inits.truncated_normal(self.stddev), (x.shape[1], 1, 1, 1)
+        )
+        b = self.param("biases", inits.zeros, (self.features,))
+        return _conv2d(x, w, "VALID") + b, w
+
+
+class DeN2G(nn.Module):
+    """Transposed node-to-graph conv (layers.py:473-488)."""
+
+    out_spatial: Tuple[int, int]  # (H, W) of the output
+    k_h: int
+    features: int = 1
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", inits.normal(self.stddev), (self.out_spatial[0], 1, 1, 1))
+        b = self.param("biases", inits.zeros, (self.features,))
+        return _conv2d_transpose(x, w, "VALID") + b
+
+
+class DeN2N(nn.Module):
+    """Transposed node-to-node conv (layers.py:518-534)."""
+
+    features: int
+    k_h: int
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "w", inits.normal(self.stddev), (1, self.k_h, self.features, x.shape[-1])
+        )
+        b = self.param("biases1", inits.zeros, (self.features,))
+        return _conv2d_transpose(x, w, "VALID") + b
+
+
+class DeE2N(nn.Module):
+    """Transposed edge-to-node conv (layers.py:490-516): deconv of the input
+    plus deconv of its spatial transpose with transposed weights, shared bias."""
+
+    features: int
+    k_h: int
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w1 = self.param(
+            "w1", inits.normal(self.stddev), (1, self.k_h, self.features, x.shape[-1])
+        )
+        b1 = self.param("biases1", inits.zeros, (self.features,))
+        d1 = _conv2d_transpose(x, w1, "VALID") + b1
+        d2 = _conv2d_transpose(
+            jnp.transpose(x, (0, 2, 1, 3)), jnp.transpose(w1, (1, 0, 2, 3)), "VALID"
+        ) + b1
+        return d1 + d2
+
+
+class DeE2E(nn.Module):
+    """Transposed edge-to-edge conv (layers.py:536-564): row/column sums of
+    the input deconvolved back to full edge maps, averaged."""
+
+    features: int
+    k_h: int
+    stddev: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x1 = jnp.sum(x, axis=1).reshape(B, self.k_h, 1, C)
+        x2 = jnp.sum(x, axis=2).reshape(B, 1, self.k_h, C)
+        w1 = self.param(
+            "w1", inits.normal(self.stddev), (1, self.k_h, self.features, C)
+        )
+        b1 = self.param("biases1", inits.zeros, (self.features,))
+        d1 = _conv2d_transpose(x1, w1, "VALID") + b1
+        d2 = _conv2d_transpose(x2, jnp.transpose(w1, (1, 0, 2, 3)), "VALID") + b1
+        return (d1 + d2) / 2.0
+
+
+class N2GPool(nn.Module):
+    """Node->graph pooling with a diag mask (layers.py:362-379)."""
+
+    input_dim: int
+    hidden: int = 20
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weights", inits.glorot_trunc(), (self.input_dim, self.hidden))
+        eye = jnp.eye(self.input_dim, dtype=x.dtype)
+        y = jnp.einsum("io,bot->bit", w.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return jax.nn.relu(y * eye[None, : y.shape[1], : y.shape[2]])
+
+
+class G2NBroadcast(nn.Module):
+    """Graph->node broadcast (layers.py:381-396)."""
+
+    input_dim: int
+    hidden: int = 20
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weights", inits.glorot_trunc(), (self.hidden, self.input_dim))
+        y = jnp.einsum("ho,bot->bht", w.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return jax.nn.relu(y)

@@ -1,0 +1,229 @@
+"""Pallas TPU kernels for the graph aggregation hot path.
+
+Two kernels:
+
+  * ``blocked_adj_matmul`` — tiled ``A @ X`` (the GCN neighbor aggregation,
+    reference layers.py:122) with an optionally fused leaky-ReLU epilogue.
+    Blocks of A stream HBM->VMEM tile by tile and accumulate in a VMEM
+    scratch in f32, so the op scales to node counts far beyond what a single
+    [N,N] VMEM residency allows — the building block of the large-N sharded
+    encoder (BASELINE.json config 5).
+
+  * ``fused_motif_combine`` — the third-order motif combine of the factored
+    SpatialGraphConv (layers.py:143-181 reformulated; see
+    nn/spatial_conv.py):
+        out[i,j,:] = A[i,j] * ( deg[j]*(a'[i]+d[i,j]) + v[j]
+                                 + Σ_k A[j,k]·f[i,k,:] )
+    computed per i-tile entirely in VMEM, so the O(N³)-FLOP term's
+    [N,N,h] intermediate never round-trips HBM.
+
+Both have XLA-einsum reference implementations used as oracles and as the
+fallback on non-TPU backends / small shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------------
+# Blocked A @ X with fused activation
+# ---------------------------------------------------------------------------
+
+def _adj_matmul_kernel(a_ref, x_ref, o_ref, acc_ref, *, n_k: int, leak):
+    """Grid (i, j, k): accumulate A[i-tile, k-tile] @ X[k-tile, j-tile]."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[:], x_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        acc = acc_ref[:]
+        if leak is not None:
+            acc = jnp.maximum(acc, leak * acc)
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "block_h", "leak", "interpret")
+)
+def blocked_adj_matmul(
+    adj: jnp.ndarray,
+    x: jnp.ndarray,
+    block_n: int = 128,
+    block_k: int = 128,
+    block_h: int = 128,
+    leak: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[N,M] @ [M,H] (single graph) or batched via vmap.  ``leak`` fuses a
+    leaky-ReLU epilogue (leak=0.2 reproduces lrelu, layers.py:112-113)."""
+    if adj.ndim == 3:
+        fn = functools.partial(
+            blocked_adj_matmul, block_n=block_n, block_k=block_k,
+            block_h=block_h, leak=leak, interpret=interpret,
+        )
+        return jax.vmap(fn)(adj, x)
+
+    n, m = adj.shape
+    m2, h = x.shape
+    assert m == m2, (adj.shape, x.shape)
+    a_p = _pad_to(_pad_to(adj, 0, block_n), 1, block_k)
+    x_p = _pad_to(_pad_to(x, 0, block_k), 1, block_h)
+    N, M = a_p.shape
+    H = x_p.shape[1]
+    n_k = M // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_adj_matmul_kernel, n_k=n_k, leak=leak),
+        grid=(N // block_n, H // block_h, n_k),
+        in_specs=[
+            pl.BlockSpec((block_n, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_h), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, block_h), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_n, block_h), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * M * H,
+            bytes_accessed=(N * M + M * H + N * H) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, x_p)
+    return out[:n, :h]
+
+
+def adj_matmul_reference(adj: jnp.ndarray, x: jnp.ndarray, leak: Optional[float] = None):
+    """XLA fallback / oracle."""
+    out = jnp.einsum("...nm,...mh->...nh", adj, x,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if leak is not None:
+        out = jnp.maximum(out, leak * out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fused third-order motif combine
+# ---------------------------------------------------------------------------
+
+def _motif_kernel(adj_ref, f_ref, a_ref, d_ref, v_ref, deg_ref, o_ref, *, bi: int):
+    """One i-tile (full j range) of the motif combine.
+
+    Block shapes (leading singleton batch axis dropped via [0]):
+      adj_ref [1, N, N]    full adjacency
+      f_ref   [1, bi, N, h] f[i,k,:] for the i-tile
+      a_ref   [1, bi, h]   a'[i] = a[i] + bias
+      d_ref   [1, bi, N, h] d[i,j,:]
+      v_ref   [1, N, h]    v[j]
+      deg_ref [1, N, 1]    deg[j] (kept 2D for VMEM layout)
+      o_ref   [1, bi, N, h]
+    """
+    adj = adj_ref[0]            # [N, N]
+    v = v_ref[0]                # [N, h]
+    deg = deg_ref[0]            # [N, 1]
+    for ii in range(bi):        # static unroll over the i-tile
+        # wf[j, h] = Σ_k A[j,k] · f[i,k,h]
+        wf = jnp.dot(adj, f_ref[0, ii], preferred_element_type=jnp.float32)
+        combine = deg * (a_ref[0, ii][None, :] + d_ref[0, ii]) + v + wf
+        # mask by the i-th adjacency row A[i, j]
+        row = adj_ref[0, pl.program_id(1) * bi + ii, :]          # [N]
+        o_ref[0, ii] = (row[:, None] * combine).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "interpret"))
+def fused_motif_combine(
+    adj: jnp.ndarray,
+    a_i: jnp.ndarray,
+    d_ij: jnp.ndarray,
+    v_j: jnp.ndarray,
+    f_ik: jnp.ndarray,
+    bias: jnp.ndarray,
+    block_i: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched motif combine:
+    out[b,i,j,h] = A[b,i,j]*(deg[b,j]*(a_i[b,i,h]+d_ij[b,i,j,h]+bias[h])
+                             + v_j[b,j,h] + Σ_k A[b,j,k]·f_ik[b,i,k,h]).
+
+    N is padded to the f32 sublane/lane tile (8, 128); padded nodes have
+    zero adjacency so their contributions vanish under the A[i,j] mask."""
+    B, N0, _ = adj.shape
+    h0 = a_i.shape[-1]
+    a_p = _pad_to(_pad_to(adj, 1, 128), 2, 128)
+    N = a_p.shape[1]
+    ai_p = _pad_to(_pad_to(a_i + bias, 1, block_i), 2, 128)
+    d_p = _pad_to(_pad_to(_pad_to(d_ij, 1, block_i), 2, 128), 3, 128)
+    v_p = _pad_to(_pad_to(v_j, 1, 128), 2, 128)
+    f_p = _pad_to(_pad_to(_pad_to(f_ik, 1, block_i), 2, 128), 3, 128)
+    H = ai_p.shape[-1]
+    NI = ai_p.shape[1]
+    deg = jnp.sum(a_p, axis=-1, keepdims=True)  # [B, N, 1]
+
+    out = pl.pallas_call(
+        functools.partial(_motif_kernel, bi=block_i),
+        grid=(B, NI // block_i),
+        in_specs=[
+            pl.BlockSpec((1, N, N), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_i, N, H), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_i, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_i, N, H), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_i, N, H), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NI, N, H), f_ik.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * NI * N * N * H,
+            bytes_accessed=4 * B * (N * N + 3 * NI * N * H + N * H),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, f_p, ai_p, d_p, v_p, deg)
+    return out[:, :N0, :N0, :h0]
+
+
+def fused_motif_combine_reference(adj, a_i, d_ij, v_j, f_ik, bias):
+    """XLA oracle for the motif combine."""
+    deg = jnp.sum(adj, axis=-1)
+    wf = jnp.einsum("bjk,bikh->bijh", adj, f_ik,
+                    preferred_element_type=jnp.float32).astype(f_ik.dtype)
+    out = (
+        deg[:, None, :, None] * (a_i[:, :, None] + d_ij + bias)
+        + v_j[:, None, :]
+        + wf
+    )
+    return adj[..., None] * out

@@ -1,0 +1,139 @@
+"""Spatial-graph visualization — reconstruction of the reference's missing
+``utils/visualizer.py`` (imported at main.py:24; call sites:
+``visualize_reconstruct(n, adj, feat, coords, gen_adj, gen_feat, gen_coords)``
+commented at main.py:422 and ``visualize_traverse(adj, feat, coords, ?,
+visualize_length, dataset)`` at main.py:497), plus a from-scratch
+re-implementation of the standalone mesh inspector ``visualization.py``
+without open3d.
+
+Matplotlib only; every function returns the Figure and optionally saves it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_spatial_graph(ax, adj: np.ndarray, coords: np.ndarray,
+                       features: Optional[np.ndarray] = None, node_size: float = 30.0):
+    """Draw one spatial network: nodes at their coordinates (first two dims),
+    edges as line segments, node color = first feature channel."""
+    adj = np.asarray(adj)
+    coords = np.asarray(coords)
+    xy = coords[:, :2]
+    i, j = np.nonzero(np.triu(adj > 0.5, 1))
+    for a, b in zip(i, j):
+        ax.plot([xy[a, 0], xy[b, 0]], [xy[a, 1], xy[b, 1]],
+                color="0.6", linewidth=0.8, zorder=1)
+    c = None
+    if features is not None:
+        c = np.asarray(features).reshape(len(xy), -1)[:, 0]
+    ax.scatter(xy[:, 0], xy[:, 1], c=c, s=node_size, cmap="viridis", zorder=2)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    ax.set_aspect("equal", adjustable="datalim")
+
+
+def visualize_reconstruct(
+    n: int,
+    adj: np.ndarray,
+    feat: np.ndarray,
+    coords: np.ndarray,
+    gen_adj: np.ndarray,
+    gen_feat: np.ndarray,
+    gen_coords: np.ndarray,
+    save_path: Optional[str] = None,
+):
+    """n original/reconstruction pairs side by side (main.py:422 signature)."""
+    plt = _mpl()
+    n = min(n, len(adj), len(gen_adj))
+    fig, axes = plt.subplots(2, n, figsize=(2.2 * n, 4.6), squeeze=False)
+    for k in range(n):
+        plot_spatial_graph(axes[0][k], adj[k], coords[k], feat[k])
+        plot_spatial_graph(axes[1][k], gen_adj[k], gen_coords[k], gen_feat[k])
+        axes[0][k].set_title(f"orig {k}", fontsize=8)
+        axes[1][k].set_title(f"recon {k}", fontsize=8)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150)
+    return fig
+
+
+def visualize_traverse(
+    gen_adj: np.ndarray,
+    gen_feat: np.ndarray,
+    gen_coords: np.ndarray,
+    rows: int,
+    visualize_length: int,
+    dataset: str = "",
+    save_path: Optional[str] = None,
+):
+    """Latent-traversal grid: one row per traversed group, ``visualize_length``
+    steps per row (main.py:497 signature; ``rows`` generalizes the
+    3-group sweep of traverse_generation, model.py:267-324)."""
+    plt = _mpl()
+    total = len(gen_adj)
+    rows = max(rows, total // max(visualize_length, 1))
+    fig, axes = plt.subplots(
+        rows, visualize_length, figsize=(2.0 * visualize_length, 2.0 * rows),
+        squeeze=False,
+    )
+    for r in range(rows):
+        for c in range(visualize_length):
+            idx = r * visualize_length + c
+            ax = axes[r][c]
+            if idx < total:
+                plot_spatial_graph(ax, gen_adj[idx], gen_coords[idx], gen_feat[idx])
+            else:
+                ax.axis("off")
+    fig.suptitle(f"latent traversal — {dataset}", fontsize=10)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150)
+    return fig
+
+
+def find_latent(z: np.ndarray, target: np.ndarray) -> int:
+    """Nearest-latent lookup (the third missing import at main.py:24):
+    index of the latent row closest to ``target`` in L2."""
+    z = np.asarray(z).reshape(len(z), -1)
+    d = np.linalg.norm(z - np.asarray(target).reshape(1, -1), axis=1)
+    return int(np.argmin(d))
+
+
+def visualize_mesh(
+    coords: np.ndarray, adj: np.ndarray, save_path: Optional[str] = None
+):
+    """3D wireframe of a mesh graph — the open3d-free rebuild of the
+    standalone ``visualization.py`` inspector (visualization.py:8-43)."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    coords = np.asarray(coords)
+    i, j = np.nonzero(np.triu(np.asarray(adj) > 0.5, 1))
+    for a, b in zip(i, j):
+        ax.plot(
+            [coords[a, 0], coords[b, 0]],
+            [coords[a, 1], coords[b, 1]],
+            [coords[a, 2], coords[b, 2]],
+            color="0.6", linewidth=0.6,
+        )
+    ax.scatter(coords[:, 0], coords[:, 1], coords[:, 2], s=12)
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150)
+    return fig

@@ -1,0 +1,201 @@
+"""Data-layer tests: synthetic generator, spanning trees, transforms,
+loaders (the reference's inline asserts — adjacency symmetry at
+input_data.py:67 etc. — become real tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from snd_vae_tpu.config import Config, preset
+from snd_vae_tpu.data import (
+    GraphBatch,
+    from_numpy,
+    generate_synthetic,
+    load_dataset,
+    pairwise_distances,
+    sample_spanning_trees,
+    split_edges,
+    gcn_normalize,
+    zero_diagonal,
+    pad_graph,
+    edge_dropout,
+)
+
+
+def _connected(adj: np.ndarray) -> bool:
+    n = adj.shape[0]
+    seen = {0}
+    frontier = [0]
+    while frontier:
+        u = frontier.pop()
+        for v in np.nonzero(adj[u])[0]:
+            if v not in seen:
+                seen.add(v)
+                frontier.append(v)
+    return len(seen) == n
+
+
+def test_synthetic_generator_contract():
+    data = generate_synthetic(5, num_nodes=12, seed=0)
+    adj = data["adj"]
+    assert adj.shape == (5, 12, 12)
+    assert np.allclose(adj, adj.transpose(0, 2, 1))
+    assert np.all(np.diagonal(adj, axis1=1, axis2=2) == 0)
+    for a in adj:
+        assert _connected(a)
+    assert data["node"].min() >= 0 and data["node"].max() <= 120
+    assert data["geometry"].min() >= 0 and data["geometry"].max() <= 600
+    # rel consistent with coords
+    want = np.linalg.norm(
+        data["geometry"][:, :, None] - data["geometry"][:, None, :], axis=-1
+    )
+    np.testing.assert_allclose(data["rel"], want, atol=1e-9)
+
+
+def test_spanning_trees_are_trees():
+    data = generate_synthetic(3, num_nodes=10, seed=1)
+    trees = sample_spanning_trees(data["adj"], 4, seed=7, use_native=False)
+    assert trees.shape == (3, 4, 10, 10)
+    for g in range(3):
+        for s in range(4):
+            t = trees[g, s]
+            assert np.allclose(t, t.T)
+            assert t.sum() == 2 * (10 - 1)  # N-1 undirected edges
+            assert _connected(t)
+            # tree edges are a subset of the original graph's edges
+            assert np.all(t <= data["adj"][g] + 1e-9)
+
+
+def test_spanning_trees_random_across_samples():
+    # complete graph: many distinct spanning trees exist
+    n = 8
+    adj = (np.ones((1, n, n)) - np.eye(n)[None]).astype(np.float64)
+    trees = sample_spanning_trees(adj, 6, seed=3, use_native=False)
+    distinct = {trees[0, s].tobytes() for s in range(6)}
+    assert len(distinct) > 1  # random trees should differ
+
+
+def test_spanning_trees_native_matches_contract():
+    """The C++ fast path must produce valid random spanning trees too."""
+    from snd_vae_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    n = 9
+    adj = (np.ones((2, n, n)) - np.eye(n)[None]).astype(np.float64)
+    trees = native.sample_spanning_trees(adj, 5, seed=11)
+    assert trees.shape == (2, 5, n, n)
+    for g in range(2):
+        for s in range(5):
+            t = trees[g, s]
+            assert np.allclose(t, t.T)
+            assert t.sum() == 2 * (n - 1)
+            assert _connected(t)
+    distinct = {trees[0, s].tobytes() for s in range(5)}
+    assert len(distinct) > 1
+
+
+def test_gcn_normalize():
+    adj = jnp.asarray([[[0.0, 1.0], [1.0, 0.0]]])
+    out = np.asarray(gcn_normalize(adj))
+    # A+I has rows summing to 2 -> D^-1/2 (A+I) D^-1/2 = [[.5,.5],[.5,.5]]
+    np.testing.assert_allclose(out, 0.5 * np.ones((1, 2, 2)), atol=1e-6)
+
+
+def test_pairwise_distances_matches_loop(rng):
+    coords = rng.standard_normal((2, 5, 3))
+    got = np.asarray(pairwise_distances(jnp.asarray(coords)))
+    for b in range(2):
+        for i in range(5):
+            for j in range(5):
+                want = np.sqrt(((coords[b, i] - coords[b, j]) ** 2).sum())
+                assert abs(got[b, i, j] - want) < 1e-5
+
+
+def test_split_edges_disjoint(rng):
+    data = generate_synthetic(1, num_nodes=15, seed=4)
+    s = split_edges(data["adj"][0], rng)
+    as_set = lambda e: {tuple(sorted(p)) for p in e.tolist()}
+    train, val, test = (
+        as_set(s["train_edges"]), as_set(s["val_edges"]), as_set(s["test_edges"])
+    )
+    assert not (train & val) and not (train & test) and not (val & test)
+    fal = as_set(s["test_edges_false"]) | as_set(s["val_edges_false"])
+    assert not (fal & (train | val | test))
+
+
+def test_edge_dropout(rng):
+    data = generate_synthetic(1, num_nodes=12, seed=5)
+    adj = data["adj"][0]
+    out = edge_dropout(adj, 0.5, rng)
+    assert np.allclose(out, out.T)
+    assert out.sum() <= adj.sum()
+    assert np.all(out <= adj + 1e-9)
+
+
+def test_pad_graph():
+    data = generate_synthetic(1, num_nodes=6, seed=6)
+    a, f, c, m = pad_graph(data["adj"][0], data["node"][0], data["geometry"][0], 10)
+    assert a.shape == (10, 10) and f.shape == (10, 1) and c.shape == (10, 2)
+    assert m.sum() == 6
+    assert a[6:, :].sum() == 0 and a[:, 6:].sum() == 0
+
+
+def test_load_dataset_synthetic_fallback():
+    cfg = preset("synthetic2").with_(num_nodes=10, sampling_num=3)
+    batch = load_dataset(cfg, "train", num_graphs=8)
+    assert batch.adj.shape == (8, 10, 10)
+    assert batch.features.shape == (8, 10, 1)
+    assert batch.coords.shape == (8, 10, 2)
+    assert batch.rel.shape == (8, 10, 10, 1)
+    assert batch.adj_samples.shape == (8, 3, 10, 10)
+    assert batch.factors is not None
+    # normalized ranges (reference divides by 120/600, input_data.py:57-59)
+    assert float(batch.features.max()) <= 1.0 + 1e-6
+    assert float(batch.coords.max()) <= 1.0 + 1e-6
+
+
+def test_load_dataset_roundtrip_reference_layout(tmp_path):
+    """Write the reference's on-disk .npy layout and load through the same
+    path the reference uses (input_data.py:54-96)."""
+    from snd_vae_tpu.data import save_synthetic_npy
+
+    data = generate_synthetic(4, num_nodes=9, seed=8)
+    root = tmp_path / "spatial_network_correlated2" / "25"
+    save_synthetic_npy(data, str(root / "train"))
+    cfg = preset("synthetic2").with_(
+        dataset_path=str(tmp_path) + "/", num_nodes=9, sampling_num=2
+    )
+    batch = load_dataset(cfg, "train")
+    assert batch.adj.shape == (4, 9, 9)
+    assert float(batch.coords.max()) <= 1.0 + 1e-6
+
+
+def test_graphbatch_slice():
+    data = generate_synthetic(6, num_nodes=5, seed=9)
+    batch = from_numpy(
+        data["adj"], data["node"], data["geometry"], data["rel"],
+        factors=data["prop"],
+    )
+    b = batch.slice_batch(2, 3)
+    assert b.batch_size == 3
+    np.testing.assert_allclose(np.asarray(b.adj), data["adj"][2:5])
+
+
+def test_mnist_loader_fallback():
+    cfg = preset("mnist").with_(num_nodes=12, sampling_num=2)
+    batch = load_dataset(cfg, "train", num_graphs=3)
+    assert batch.adj.shape == (3, 12, 12)
+    a = np.asarray(batch.adj)
+    assert np.allclose(a, a.transpose(0, 2, 1))
+    # +10 coordinate shift (input_data.py:300)
+    assert float(batch.coords.min()) > 5.0
+
+
+def test_scene_loader_fallback():
+    cfg = preset("scene")
+    batch = load_dataset(cfg, "train", num_graphs=4)
+    assert batch.adj.shape == (4, 10, 10)
+    assert batch.features.shape == (4, 10, 3)
+    # one-hot features
+    np.testing.assert_allclose(np.asarray(batch.features).sum(-1), 1.0)

@@ -1,0 +1,111 @@
+"""Evaluation and visualization subsystem tests (the reference's missing
+utils.evaluation / utils.visualizer, SURVEY §2.9-2.10)."""
+
+import numpy as np
+import pytest
+
+from snd_vae_tpu.data import generate_synthetic
+from snd_vae_tpu.evaluate import (
+    disentangle_evaluation,
+    gaussian_mmd,
+    generation_evaluation,
+    reconstruct_evaluation,
+)
+from snd_vae_tpu.utils.logging import LossesLogger
+from snd_vae_tpu.visualize import (
+    find_latent,
+    visualize_reconstruct,
+    visualize_traverse,
+)
+
+
+def test_reconstruct_perfect_scores():
+    data = generate_synthetic(4, num_nodes=8, seed=0)
+    r = reconstruct_evaluation(
+        data["adj"], data["node"], data["geometry"],
+        data["adj"], data["node"], data["geometry"],
+    )
+    assert r["edge_acc"] == 1.0
+    assert r["edge_f1"] == pytest.approx(1.0)
+    assert r["node_mse"] == 0.0
+    assert r["spatial_mse"] == 0.0
+    assert r["edge_auc"] == pytest.approx(1.0)
+
+
+def test_reconstruct_detects_errors():
+    data = generate_synthetic(4, num_nodes=8, seed=0)
+    wrong = 1.0 - data["adj"]
+    for i in range(4):
+        np.fill_diagonal(wrong[i], 0)
+    r = reconstruct_evaluation(
+        wrong, data["node"], data["geometry"],
+        data["adj"], data["node"], data["geometry"],
+    )
+    assert r["edge_acc"] < 0.5
+
+
+def test_gaussian_mmd_zero_same():
+    x = np.random.default_rng(0).random((10, 5))
+    assert gaussian_mmd(x, x) == pytest.approx(0.0, abs=1e-9)
+    y = x + 10.0
+    assert gaussian_mmd(x, y) > 0.1
+
+
+def test_generation_evaluation_keys():
+    a = generate_synthetic(5, num_nodes=8, seed=1)
+    b = generate_synthetic(5, num_nodes=8, seed=2)
+    r = generation_evaluation(
+        a["adj"], a["node"], a["geometry"] / 600,
+        b["adj"], b["node"], b["geometry"] / 600,
+    )
+    assert {"degree_mmd", "clustering_mmd", "edge_length_mmd",
+            "density_gen", "density_ref"} <= set(r)
+    # same distribution family -> small MMDs
+    assert r["degree_mmd"] < 1.0
+
+
+def test_disentangle_evaluation_perfect_alignment(rng):
+    """If one latent dim IS the factor, max-corr must be ~1."""
+    f = rng.standard_normal((200, 2))
+    z_s = np.concatenate([f[:, :1], rng.standard_normal((200, 3))], axis=1)
+    z_g = np.concatenate([f[:, 1:2], rng.standard_normal((200, 3))], axis=1)
+    z_sg = rng.standard_normal((200, 4))
+    r = disentangle_evaluation(z_s, z_g, z_sg, f)
+    assert r["s_factor0_maxcorr"] > 0.99
+    assert r["g_factor1_maxcorr"] > 0.99
+    assert r["sg_factor0_maxcorr"] < 0.5
+    assert 0.0 <= r["mig_gap"] <= 1.0
+
+
+def test_visualize_figures(tmp_path):
+    data = generate_synthetic(6, num_nodes=8, seed=3)
+    p1 = tmp_path / "recon.png"
+    visualize_reconstruct(
+        3, data["adj"], data["node"], data["geometry"],
+        data["adj"], data["node"], data["geometry"], save_path=str(p1),
+    )
+    assert p1.exists() and p1.stat().st_size > 0
+    p2 = tmp_path / "trav.png"
+    visualize_traverse(
+        data["adj"], data["node"], data["geometry"], 2, 3, "synthetic2",
+        save_path=str(p2),
+    )
+    assert p2.exists()
+
+
+def test_find_latent():
+    z = np.eye(4)
+    assert find_latent(z, z[2]) == 2
+
+
+def test_losses_logger(tmp_path):
+    log = LossesLogger(str(tmp_path / "train_loss.txt"))
+    means = log.log(0, {"loss": [1.0, 3.0], "adj_acc": [0.5, 0.7]})
+    assert means == {"loss": 2.0, "adj_acc": 0.6}
+    lines = open(tmp_path / "train_loss.txt").read().splitlines()
+    assert lines[0] == "epoch,loss,value"
+    assert any("loss,2.0" in l for l in lines)
+    import json
+
+    rec = json.loads(open(tmp_path / "train_loss.jsonl").read().splitlines()[0])
+    assert rec["epoch"] == 0 and rec["loss"] == 2.0

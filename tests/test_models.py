@@ -1,0 +1,138 @@
+"""Model-level tests: shapes, determinism, mode entry points, loss wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snd_vae_tpu.config import Config, DecoderConfig, EncoderConfig, TrainConfig
+from snd_vae_tpu.data import loaders
+from snd_vae_tpu.losses import elbo_loss
+from snd_vae_tpu.models import DisentangledSNDVAE, JointSNDVAE, build_model
+
+
+def tiny_cfg(**kw) -> Config:
+    base = dict(
+        dataset="synthetic2",
+        num_nodes=6,
+        sampling_num=2,
+        encoder=EncoderConfig(
+            s_channels=(4,), s_kernel_sizes=(3,), s_strides=(1,),
+            s_hidden_size=8, s_latent_size=4,
+            g_conv_hidden=(4,), g_hidden_size=8, g_latent_size=4,
+            sg_conv_hidden=((4, 4, 4),), sg_hidden_size=8, sg_latent_size=4,
+        ),
+        decoder=DecoderConfig(
+            node_h_size=4, s_d_channels=(4,), s_d_kernel_sizes=(3,),
+            s_d_strides=(1,), n_d_channels=(4,), n_d_kernel_sizes=(3,),
+            n_d_strides=(1,), e_d_hidden=(4,),
+        ),
+        train=TrainConfig(batch_size=2, epochs=1),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    cfg = tiny_cfg()
+    return loaders.load_dataset(cfg, "train", num_graphs=4).slice_batch(0, 2)
+
+
+def test_disentangled_shapes(tiny_batch, key):
+    cfg = tiny_cfg()
+    model = DisentangledSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    out = model.apply(v, tiny_batch, key=key)
+    B, N = 2, cfg.num_nodes
+    assert out.decoded.adj.shape == (B, N, N)
+    assert out.decoded.adj_prob.shape == (B, N, N, 2)
+    assert out.decoded.coords.shape == (B, N, cfg.spatial_dim)
+    assert out.decoded.node_feat.shape == (B, N, cfg.num_features)
+    assert out.stats.mean_sg.shape == (B, cfg.sampling_num, 4)
+    assert out.stats.mean_s.shape == (B, 4)
+    assert out.stats.mean_g.shape == (B, 4)
+
+
+def test_decoded_adj_has_zero_diagonal(tiny_batch, key):
+    """The diag mask (model.py:185,205-207) forces class-0 on the diagonal."""
+    cfg = tiny_cfg()
+    model = DisentangledSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    out = model.apply(v, tiny_batch, key=key)
+    diag = np.diagonal(np.asarray(out.decoded.adj), axis1=1, axis2=2)
+    assert (diag == 0).all()
+
+
+def test_deterministic_z_is_reproducible(tiny_batch, key):
+    cfg = tiny_cfg()
+    model = DisentangledSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    o1 = model.apply(v, tiny_batch, key=key, deterministic_z=True)
+    o2 = model.apply(v, tiny_batch, key=jax.random.PRNGKey(42), deterministic_z=True)
+    np.testing.assert_allclose(
+        np.asarray(o1.decoded.coords), np.asarray(o2.decoded.coords)
+    )
+
+
+def test_prior_sampling(tiny_batch, key):
+    cfg = tiny_cfg()
+    model = DisentangledSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    out = model.apply(v, tiny_batch, key=key, sample_prior=True)
+    assert out.decoded.adj.shape[0] == 2
+    gen = model.apply(v, key, 3, method=DisentangledSNDVAE.generate)
+    assert gen.adj.shape == (3, cfg.num_nodes, cfg.num_nodes)
+
+
+def test_joint_model(tiny_batch, key):
+    cfg = tiny_cfg(model_type="base")
+    model = JointSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    out = model.apply(v, tiny_batch, key=key)
+    assert out.stats.mean_s is None
+    assert out.decoded.adj.shape == (2, cfg.num_nodes, cfg.num_nodes)
+    total, aux = elbo_loss(cfg, out, tiny_batch.adj, tiny_batch.features, tiny_batch.coords)
+    assert np.isfinite(float(total))
+    assert "spatial_kl" not in aux  # base model logs only sg_kl (main.py:344-345)
+
+
+@pytest.mark.parametrize(
+    "mt", ["disentangled", "disentangled_C", "NED-VAE-IP", "beta-TCVAE"]
+)
+def test_loss_variants_finite(tiny_batch, key, mt):
+    cfg = tiny_cfg(model_type=mt)
+    model = build_model(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    out = model.apply(v, tiny_batch, key=key)
+    total, aux = elbo_loss(
+        cfg, out, tiny_batch.adj, tiny_batch.features, tiny_batch.coords,
+        global_iter=5.0,
+    )
+    assert np.isfinite(float(total))
+    assert {"loss", "adj_loss", "node_loss", "spatial_loss", "sg_kl"} <= set(aux)
+    if mt != "base":
+        assert {"graph_kl", "spatial_kl"} <= set(aux)
+
+
+def test_geo_gcn_variant(key):
+    cfg = tiny_cfg(model_type="geoGCN")
+    batch = loaders.load_dataset(cfg, "train", num_graphs=2)
+    model = build_model(cfg)
+    v = model.init(key, batch, key=key)
+    out = model.apply(v, batch, key=key)
+    # geoGCN reads the truth graph: no sample axis (model.py:141-144)
+    assert out.stats.mean_sg.shape[1] == 1
+    assert np.isfinite(np.asarray(out.decoded.coords)).all()
+
+
+def test_outputs_in_range(tiny_batch, key):
+    """Sigmoid heads bound features and coordinates to (0,1)."""
+    cfg = tiny_cfg()
+    model = DisentangledSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    out = model.apply(v, tiny_batch, key=key)
+    c = np.asarray(out.decoded.coords)
+    f = np.asarray(out.decoded.node_feat)
+    assert (c > 0).all() and (c < 1).all()
+    assert (f > 0).all() and (f < 1).all()
