@@ -34,32 +34,36 @@ DEFAULT_BASELINE_GRAPHS_PER_SEC = float(
     os.environ.get("SND_BASELINE_GRAPHS_PER_SEC", "4.42")
 )
 
-WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+NUM_GRAPHS = 200      # dataset size -> 20 batches per epoch at B=10
+WARMUP_EPOCHS = 1
+MEASURE_EPOCHS = 5
 
 
 def main():
+    from snd_vae_tpu.train import make_epoch_step, rebatch
+
     cfg = synthetic2_preset()
     B = cfg.train.batch_size  # 10 graphs x sampling_num=10 trees
-    batch = loaders.load_dataset(cfg, "train", num_graphs=B)
-    batch = batch.slice_batch(0, B)
-
-    model, state = init_state(cfg, batch)
-    train_step = make_train_step(cfg, model, make_optimizer(cfg))
+    data = loaders.load_dataset(cfg, "train", num_graphs=NUM_GRAPHS)
+    batched = rebatch(data, B)
+    model, state = init_state(cfg, data)
+    epoch_step = make_epoch_step(cfg, model, make_optimizer(cfg))
     gi = jnp.asarray(0.0)
 
-    # warmup / compile
-    for _ in range(WARMUP_STEPS):
-        state, aux = train_step(state, batch, gi)
+    # warmup / compile — the whole epoch (fwd+ELBO+bwd+Adam x num_batches)
+    # is one lax.scan program; data stays device-resident across epochs
+    for _ in range(WARMUP_EPOCHS):
+        state, aux = epoch_step(state, batched, gi)
     jax.block_until_ready(aux["loss"])
 
+    nb = batched.adj.shape[0]
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, aux = train_step(state, batch, gi)
+    for _ in range(MEASURE_EPOCHS):
+        state, aux = epoch_step(state, batched, gi)
     jax.block_until_ready(aux["loss"])
     dt = time.perf_counter() - t0
 
-    graphs_per_sec = MEASURE_STEPS * B / dt
+    graphs_per_sec = MEASURE_EPOCHS * nb * B / dt
     print(
         json.dumps(
             {

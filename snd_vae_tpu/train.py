@@ -94,6 +94,69 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_epoch_step(
+    cfg: Config, model, optimizer: optax.GradientTransformation
+) -> Callable:
+    """One jit-compiled EPOCH: lax.scan over the pre-batched dataset.
+
+    The reference pays a feed_dict round-trip and a Python fetch per batch
+    (main.py:315-353); the per-step jit above still pays one dispatch + aux
+    fetch per batch.  Scanning the batch axis on device leaves exactly one
+    host sync per epoch — data of shape [num_batches, B, ...] stays resident
+    and XLA pipelines the whole epoch."""
+
+    def one_step(carry, batch_and_iter):
+        state, = carry
+        batch, global_iter = batch_and_iter
+        key, step_key = jax.random.split(state.key)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch, key=step_key)
+            total, aux = elbo_loss(
+                cfg, out, batch.adj, batch.features, batch.coords, global_iter
+            )
+            acc = jnp.mean((out.decoded.adj == batch.adj).astype(jnp.float32))
+            aux["adj_acc"] = acc
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return (new_state,), aux
+
+    def epoch_step(state: TrainState, batched: GraphBatch, global_iter: jax.Array):
+        nb = batched.adj.shape[0]
+        iters = jnp.full((nb,), global_iter, jnp.float32)
+        (state,), aux = jax.lax.scan(one_step, (state,), (batched, iters))
+        return state, aux  # aux leaves have a leading [num_batches] axis
+
+    return jax.jit(epoch_step, donate_argnums=(0,))
+
+
+def rebatch(data: GraphBatch, batch_size: int) -> GraphBatch:
+    """[G, ...] -> [G//B, B, ...] contiguous batches (drops the remainder,
+    like the reference's int(G/B) loop at main.py:312)."""
+    nb = data.batch_size // batch_size
+
+    def fold(x):
+        if x is None:
+            return None
+        return x[: nb * batch_size].reshape((nb, batch_size) + x.shape[1:])
+
+    return GraphBatch(
+        adj=fold(data.adj),
+        features=fold(data.features),
+        coords=fold(data.coords),
+        rel=fold(data.rel),
+        adj_samples=fold(data.adj_samples),
+        factors=fold(data.factors),
+        node_mask=fold(data.node_mask),
+    )
+
+
 def make_eval_step(cfg: Config, model) -> Callable:
     """Posterior-mean reconstruction (reference generate_new_train,
     main.py:358-362)."""
@@ -145,6 +208,8 @@ class Trainer:
             )
         self.optimizer = make_optimizer(cfg)
         self.train_step = make_train_step(cfg, self.model, self.optimizer)
+        self.epoch_step = make_epoch_step(cfg, self.model, self.optimizer)
+        self.batched = rebatch(self.data, cfg.train.batch_size)
         log_path = os.path.join(
             workdir,
             cfg.train.log_dir,
@@ -165,30 +230,61 @@ class Trainer:
         self.state = self.checkpointer.restore(self.state, step)
         return int(step)
 
-    def run(self, epochs: Optional[int] = None, verbose: bool = True) -> Dict[str, float]:
+    def run(
+        self,
+        epochs: Optional[int] = None,
+        verbose: bool = True,
+        per_step: bool = False,
+        profile_dir: Optional[str] = None,
+    ) -> Dict[str, float]:
+        """Train.  Default path scans whole epochs on device (one host sync
+        per epoch); ``per_step=True`` falls back to one dispatch per batch
+        (the reference's loop granularity, main.py:315-353).
+
+        ``profile_dir`` captures a jax.profiler device trace of the second
+        epoch (the first is compile) — the observability the reference lacks
+        (SURVEY §5: wall-clock prints only, main.py:348-350)."""
         cfg = self.cfg
         epochs = cfg.train.epochs if epochs is None else epochs
+        prof_epoch = 1 if epochs > 1 else 0
         B = cfg.train.batch_size
         G = self.data.batch_size
         batch_num = max(G // B, 1)
         last_means: Dict[str, float] = {}
         start = self.maybe_restore()
         for epoch in range(start, epochs):
-            storer = defaultdict(list)
+            if profile_dir is not None and epoch == prof_epoch:
+                jax.profiler.start_trace(profile_dir)
             epoch_time = time.time()
-            for i in range(batch_num):
-                batch = self.data.slice_batch(i * B, B)
-                t = time.time()
-                self.state, aux = self.train_step(
-                    self.state, batch, jnp.asarray(epoch, jnp.float32)
+            if per_step:
+                storer = defaultdict(list)
+                for i in range(batch_num):
+                    batch = self.data.slice_batch(i * B, B)
+                    t = time.time()
+                    self.state, aux = self.train_step(
+                        self.state, batch, jnp.asarray(epoch, jnp.float32)
+                    )
+                    for k, v in aux.items():
+                        storer[k].append(float(v))
+                    if verbose:
+                        print(
+                            f"Epoch: {epoch + 1:04d} loss= {storer['loss'][-1]:.5f} "
+                            f"time= {time.time() - t:.5f}"
+                        )
+            else:
+                self.state, aux = self.epoch_step(
+                    self.state, self.batched, jnp.asarray(epoch, jnp.float32)
                 )
-                for k, v in aux.items():
-                    storer[k].append(float(v))
+                aux = jax.device_get(aux)  # one sync per epoch
+                storer = {k: list(np.asarray(v)) for k, v in aux.items()}
                 if verbose:
                     print(
-                        f"Epoch: {epoch + 1:04d} loss= {storer['loss'][-1]:.5f} "
-                        f"time= {time.time() - t:.5f}"
+                        f"Epoch: {epoch + 1:04d} loss= "
+                        f"{float(np.mean(storer['loss'])):.5f}"
                     )
+            if profile_dir is not None and epoch == prof_epoch:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
             if verbose:
                 print(f"epoch time= {time.time() - epoch_time:.5f}")
             if epoch % cfg.train.checkpoint_every == 0:

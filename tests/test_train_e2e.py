@@ -73,6 +73,36 @@ def test_determinism_same_seed(key):
     assert run() == run()
 
 
+def test_epoch_scan_matches_per_step(key):
+    """The on-device lax.scan epoch must reproduce the per-step jit loop
+    exactly (same key-splitting, same update order)."""
+    from snd_vae_tpu.train import make_epoch_step, rebatch
+
+    cfg = tiny_cfg()
+    data = loaders.load_dataset(cfg, "train", num_graphs=8)
+    model, state_a = init_state(cfg, data)
+    _, state_b = init_state(cfg, data)
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, model, opt)
+    epoch = make_epoch_step(cfg, model, opt)
+
+    B = cfg.train.batch_size
+    losses_a = []
+    for i in range(data.batch_size // B):
+        state_a, aux = step(state_a, data.slice_batch(i * B, B), jnp.asarray(0.0))
+        losses_a.append(float(aux["loss"]))
+
+    state_b, aux_b = epoch(state_b, rebatch(data, B), jnp.asarray(0.0))
+    losses_b = [float(x) for x in np.asarray(aux_b["loss"])]
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        jax.device_get(state_a.params), jax.device_get(state_b.params),
+    )
+
+
 def test_trainer_epoch_and_logs(tmp_path):
     cfg = tiny_cfg(tmp_path)
     batch = loaders.load_dataset(cfg, "train", num_graphs=8)
@@ -84,6 +114,51 @@ def test_trainer_epoch_and_logs(tmp_path):
     )
     assert os.path.exists(log_file)
     assert len(open(log_file).readlines()) > 1
+
+
+def test_protein_3d_train_smoke():
+    """The fourth-order conv path (protein preset family) trains: finite
+    loss, finite grads (model.py:139-140 dispatch)."""
+    cfg = tiny_cfg(
+        dataset="protein", spatial_dim=3, num_nodes=5,
+        encoder=EncoderConfig(
+            s_channels=(4,), s_kernel_sizes=(3,), s_strides=(1,),
+            s_hidden_size=8, s_latent_size=4,
+            g_conv_hidden=(4,), g_hidden_size=8, g_latent_size=4,
+            sg_conv_hidden=((3, 3, 3, 3),), sg_hidden_size=8, sg_latent_size=4,
+        ),
+    )
+    batch = loaders.load_dataset(cfg, "train", num_graphs=2).slice_batch(0, 2)
+    # shrink to tiny N for the O(N^3) memory of the factored 4th-order op
+    model, state = init_state(cfg, batch)
+    step = make_train_step(cfg, model, make_optimizer(cfg))
+    losses = []
+    for i in range(3):
+        state, aux = step(state, batch, jnp.asarray(float(i)))
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+
+
+def test_scene_joint_train_smoke():
+    """Scene dataset: joint model with categorical 5-way edges, zero node
+    cost, linear coordinates (model_joint.py:118-179, optimizer.py:138-147)."""
+    from snd_vae_tpu.config import DecoderConfig as DC
+
+    cfg = tiny_cfg(
+        dataset="scene", model_type="base", num_nodes=10, num_features=3,
+        spatial_dim=3,
+        decoder=DC(
+            node_h_size=4, s_d_channels=(4,), s_d_kernel_sizes=(3,),
+            s_d_strides=(1,), n_d_channels=(4,), n_d_kernel_sizes=(3,),
+            n_d_strides=(1,), e_d_hidden=(4,), num_edge_feature=5,
+        ),
+    )
+    batch = loaders.load_dataset(cfg, "train", num_graphs=2).slice_batch(0, 2)
+    model, state = init_state(cfg, batch)
+    step = make_train_step(cfg, model, make_optimizer(cfg))
+    state, aux = step(state, batch, jnp.asarray(0.0))
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["node_loss"]) == 0.0  # scene: node cost zero
 
 
 def test_checkpoint_resume(tmp_path):
