@@ -48,19 +48,19 @@ def main():
     batched = rebatch(data, B)
     model, state = init_state(cfg, data)
     epoch_step = make_epoch_step(cfg, model, make_optimizer(cfg))
-    gi = jnp.asarray(0.0)
 
     # warmup / compile — the whole epoch (fwd+ELBO+bwd+Adam x num_batches)
-    # is one lax.scan program; data stays device-resident across epochs
+    # is one lax.scan program; data and the epoch counter stay
+    # device-resident across epochs (no per-epoch host transfers)
     for _ in range(WARMUP_EPOCHS):
-        state, aux = epoch_step(state, batched, gi)
+        state, aux = epoch_step(state, batched)
     jax.block_until_ready(aux["loss"])
 
     nb = batched.adj.shape[0]
     t0 = time.perf_counter()
     for _ in range(MEASURE_EPOCHS):
-        state, aux = epoch_step(state, batched, gi)
-    jax.block_until_ready(aux["loss"])
+        state, aux = epoch_step(state, batched)
+        jax.block_until_ready(aux["loss"])  # block per epoch: honest timing
     dt = time.perf_counter() - t0
 
     graphs_per_sec = MEASURE_EPOCHS * nb * B / dt

@@ -105,9 +105,12 @@ def make_epoch_step(
     host sync per epoch — data of shape [num_batches, B, ...] stays resident
     and XLA pipelines the whole epoch."""
 
-    def one_step(carry, batch_and_iter):
-        state, = carry
-        batch, global_iter = batch_and_iter
+    def one_step(carry, batch):
+        state, nb = carry
+        # epoch number derived ON DEVICE from the step counter — feeding a
+        # fresh host scalar per epoch costs a ~75ms host->device transfer on
+        # a tunneled TPU, 50x the epoch's compute
+        global_iter = jnp.floor_divide(state.step, nb).astype(jnp.float32)
         key, step_key = jax.random.split(state.key)
 
         def loss_fn(params):
@@ -125,12 +128,11 @@ def make_epoch_step(
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1, key=key
         )
-        return (new_state,), aux
+        return (new_state, nb), aux
 
-    def epoch_step(state: TrainState, batched: GraphBatch, global_iter: jax.Array):
-        nb = batched.adj.shape[0]
-        iters = jnp.full((nb,), global_iter, jnp.float32)
-        (state,), aux = jax.lax.scan(one_step, (state,), (batched, iters))
+    def epoch_step(state: TrainState, batched: GraphBatch):
+        nb = jnp.asarray(batched.adj.shape[0], jnp.int32)
+        (state, _), aux = jax.lax.scan(one_step, (state, nb), batched)
         return state, aux  # aux leaves have a leading [num_batches] axis
 
     return jax.jit(epoch_step, donate_argnums=(0,))
@@ -272,9 +274,7 @@ class Trainer:
                             f"time= {time.time() - t:.5f}"
                         )
             else:
-                self.state, aux = self.epoch_step(
-                    self.state, self.batched, jnp.asarray(epoch, jnp.float32)
-                )
+                self.state, aux = self.epoch_step(self.state, self.batched)
                 aux = jax.device_get(aux)  # one sync per epoch
                 storer = {k: list(np.asarray(v)) for k, v in aux.items()}
                 if verbose:

@@ -92,7 +92,7 @@ def test_epoch_scan_matches_per_step(key):
         state_a, aux = step(state_a, data.slice_batch(i * B, B), jnp.asarray(0.0))
         losses_a.append(float(aux["loss"]))
 
-    state_b, aux_b = epoch(state_b, rebatch(data, B), jnp.asarray(0.0))
+    state_b, aux_b = epoch(state_b, rebatch(data, B))
     losses_b = [float(x) for x in np.asarray(aux_b["loss"])]
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
     jax.tree.map(
