@@ -50,13 +50,24 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(**over)
     if args.beta is not None:
         cfg = cfg.with_(loss=cfg.loss.__class__(**{**cfg.loss.__dict__, "beta": args.beta}))
+    if getattr(args, "bf16", False):
+        cfg = cfg.with_(compute_dtype="bfloat16")
+    if getattr(args, "use_pallas", False):
+        cfg = cfg.with_(use_pallas=True)
     return cfg
 
 
-def run_train(cfg: Config, workdir: str, epochs: Optional[int] = None) -> Dict[str, float]:
+def run_train(
+    cfg: Config,
+    workdir: str,
+    epochs: Optional[int] = None,
+    per_step: bool = False,
+    profile: bool = False,
+) -> Dict[str, float]:
     batch = loaders.load_dataset(cfg, "train")
     trainer = Trainer(cfg, batch, workdir=workdir)
-    return trainer.run(epochs=epochs)
+    profile_dir = os.path.join(workdir, "profile") if profile else None
+    return trainer.run(epochs=epochs, per_step=per_step, profile_dir=profile_dir)
 
 
 def _restore_for_eval(cfg: Config, workdir: str):
@@ -195,11 +206,20 @@ def main(argv=None):
     p.add_argument("--beta", type=float, default=None)
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--workdir", default=".")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (f32 master params and ELBO)")
+    p.add_argument("--use-pallas", action="store_true", dest="use_pallas",
+                   help="fused Pallas motif kernel in the sg-branch")
+    p.add_argument("--per-step", action="store_true", dest="per_step",
+                   help="per-batch dispatch instead of the epoch scan")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the second epoch")
     args = p.parse_args(argv)
 
     cfg = _build_cfg(args)
     if args.type == "train":
-        out = run_train(cfg, args.workdir, epochs=args.epochs)
+        out = run_train(cfg, args.workdir, epochs=args.epochs,
+                        per_step=args.per_step, profile=args.profile)
     elif args.type == "test_reconstruct":
         out = run_test_reconstruct(cfg, args.workdir)
     elif args.type == "test_generation":

@@ -9,11 +9,14 @@ from .loaders import (
 from .spanning_tree import sample_spanning_tree_adj, sample_spanning_trees
 from .synthetic import generate_synthetic, save_synthetic_npy
 from .transforms import (
+    dropout_edges,
     edge_dropout,
     edge_logit_mask,
     gcn_normalize,
+    motif_adj_3d,
     pad_graph,
     pairwise_distances,
+    sparse_to_tuple,
     split_edges,
     zero_diagonal,
     zscore,
@@ -38,5 +41,8 @@ __all__ = [
     "edge_logit_mask",
     "split_edges",
     "edge_dropout",
+    "dropout_edges",
+    "motif_adj_3d",
+    "sparse_to_tuple",
     "pad_graph",
 ]

@@ -62,6 +62,34 @@ def edge_logit_mask(n: int, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32
     return jnp.broadcast_to(m, batch_shape + (n, n))
 
 
+def motif_adj_3d(adj: jnp.ndarray) -> jnp.ndarray:
+    """2-hop motif tensor g3d[i,j,k] = A[i,j]·A[j,k] — the jit-able, batched
+    form of ``generate_adj_3d``'s O(N³) Python loop (input_data.py:40-52).
+    The spatial-motif convs compute this implicitly; exposed for analysis."""
+    return adj[..., :, :, None] * adj[..., None, :, :]
+
+
+def sparse_to_tuple(sparse_mx) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
+    """scipy sparse -> (coords [nnz,2], values, shape) (preprocessing.py:7-13)."""
+    import scipy.sparse as sp
+
+    if not sp.isspmatrix_coo(sparse_mx):
+        sparse_mx = sparse_mx.tocoo()
+    coords = np.vstack((sparse_mx.row, sparse_mx.col)).transpose()
+    return coords, sparse_mx.data, sparse_mx.shape
+
+
+def dropout_edges(adj: jnp.ndarray, keep_prob: float, key) -> jnp.ndarray:
+    """Random edge dropout with inverted scaling — the dense analog of the
+    reference's ``dropout_sparse`` over nonzero adjacency entries
+    (layers.py:22-30); symmetric masks for undirected graphs."""
+    import jax
+
+    mask = jax.random.bernoulli(key, keep_prob, adj.shape)
+    mask = jnp.triu(mask) | jnp.triu(mask, 1).swapaxes(-1, -2)
+    return jnp.where(mask, adj / keep_prob, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Edge splitting / masking (legacy VGAE capability, preprocessing.py:52-140)
 # ---------------------------------------------------------------------------

@@ -211,6 +211,17 @@ def elbo_loss(
     """Total cost + aux dict, dispatching on model_type exactly as
     OptimizerVAE (optimizer.py:159-194)."""
     beta = cfg.loss.beta if beta is None else beta
+    # losses always accumulate in float32 regardless of the forward compute
+    # dtype (bfloat16 mixed precision casts the model, never the ELBO)
+    to_f32 = lambda t: (
+        t.astype(jnp.float32)
+        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating)
+        else t
+    )
+    output = jax.tree.map(to_f32, output)
+    adj_true = to_f32(adj_true)
+    node_true = to_f32(node_true)
+    coords_true = to_f32(coords_true)
     rec = reconstruction_losses(
         cfg, output, adj_true, node_true, coords_true, pos_weight, norm
     )

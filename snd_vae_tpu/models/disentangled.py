@@ -79,7 +79,9 @@ class DisentangledSNDVAE(nn.Module):
             elif cfg.uses_3d_conv:
                 sg_convs.append(ops.SpatialGraphConv3D(tuple(hidden)))
             else:
-                sg_convs.append(ops.SpatialGraphConv(tuple(hidden)))
+                sg_convs.append(
+                    ops.SpatialGraphConv(tuple(hidden), use_pallas=cfg.use_pallas)
+                )
         self.sg_convs = sg_convs
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
         self.encoder_sg_bn = norm()
@@ -168,6 +170,7 @@ class DisentangledSNDVAE(nn.Module):
                 else:
                     sg = conv(adj, sg, coords)
                 sg = ops.lrelu(bn(sg))
+            sg = self.encoder_sg_bn(sg)  # BN before flatten (model.py:148)
             sg_flat = sg.reshape(B, -1)
         else:
             assert batch.adj_samples is not None, "sg-branch needs spanning-tree samples"
@@ -181,8 +184,8 @@ class DisentangledSNDVAE(nn.Module):
             ).reshape(B * S, N, -1)
             for conv, bn in zip(self.sg_convs, self.sg_bns):
                 sg = ops.lrelu(bn(conv(adj_s, sg, rel_s)))
+            sg = self.encoder_sg_bn(sg)  # BN before flatten (model.py:148)
             sg_flat = sg.reshape(B * S, -1)
-        sg_flat = self.encoder_sg_bn(sg_flat)
         sg_ = self.sg_lin1(sg_flat)
         z_mean_sg, z_std_sg = self.sg_lin_mean(sg_), self.sg_lin_std(sg_)
 
@@ -201,25 +204,23 @@ class DisentangledSNDVAE(nn.Module):
     def reparameterize(self, stats: LatentStats, key: jax.Array) -> Latents:
         """z = μ + ε·exp(logσ), ε~N(0,1) (model.py:153-161)."""
         k_s, k_sg, k_g = jax.random.split(key, 3)
-        z_s = stats.mean_s + jax.random.normal(k_s, stats.mean_s.shape) * jnp.exp(
-            stats.logstd_s
-        )
-        z_sg = stats.mean_sg + jax.random.normal(k_sg, stats.mean_sg.shape) * jnp.exp(
-            stats.logstd_sg
-        )
-        z_g = stats.mean_g + jax.random.normal(k_g, stats.mean_g.shape) * jnp.exp(
-            stats.logstd_g
-        )
+        norm = lambda k, t: jax.random.normal(k, t.shape, t.dtype)
+        z_s = stats.mean_s + norm(k_s, stats.mean_s) * jnp.exp(stats.logstd_s)
+        z_sg = stats.mean_sg + norm(k_sg, stats.mean_sg) * jnp.exp(stats.logstd_sg)
+        z_g = stats.mean_g + norm(k_g, stats.mean_g) * jnp.exp(stats.logstd_g)
         return Latents(z_sg=z_sg, z_s=z_s, z_g=z_g)
 
     def prior_latents(self, batch_size: int, num_samples: int, key: jax.Array) -> Latents:
         """z ~ N(0, I) (model.py:163-169)."""
         enc = self.cfg.encoder
+        dt = jnp.dtype(self.cfg.compute_dtype)
         k_s, k_sg, k_g = jax.random.split(key, 3)
         return Latents(
-            z_sg=jax.random.normal(k_sg, (batch_size, num_samples, enc.sg_latent_size)),
-            z_s=jax.random.normal(k_s, (batch_size, enc.s_latent_size)),
-            z_g=jax.random.normal(k_g, (batch_size, enc.g_latent_size)),
+            z_sg=jax.random.normal(
+                k_sg, (batch_size, num_samples, enc.sg_latent_size), dt
+            ),
+            z_s=jax.random.normal(k_s, (batch_size, enc.s_latent_size), dt),
+            z_g=jax.random.normal(k_g, (batch_size, enc.g_latent_size), dt),
         )
 
     # ------------------------------------------------------------------ #

@@ -43,7 +43,10 @@ class JointSNDVAE(nn.Module):
                 ops.SpatialGraphConv3D(tuple(h)) for h in enc.sg_conv_hidden
             ]
         else:
-            self.sg_convs = [ops.SpatialGraphConv(tuple(h)) for h in enc.sg_conv_hidden]
+            self.sg_convs = [
+                ops.SpatialGraphConv(tuple(h), use_pallas=cfg.use_pallas)
+                for h in enc.sg_conv_hidden
+            ]
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
         self.sg_lin1 = ops.Dense(enc.sg_hidden_size)
         self.sg_lin_mean = ops.Dense(enc.sg_latent_size)
@@ -80,12 +83,12 @@ class JointSNDVAE(nn.Module):
     ) -> ModelOutput:
         stats = self.encode(batch, key=key, dropout_keep=dropout_keep)
         if sample_prior:
-            z_sg = jax.random.normal(key, stats.mean_sg.shape)
+            z_sg = jax.random.normal(key, stats.mean_sg.shape, stats.mean_sg.dtype)
         elif deterministic_z:
             z_sg = stats.mean_sg
         else:
             z_sg = stats.mean_sg + jax.random.normal(
-                key, stats.mean_sg.shape
+                key, stats.mean_sg.shape, stats.mean_sg.dtype
             ) * jnp.exp(stats.logstd_sg)
         latents = Latents(z_sg=z_sg)
         decoded = self.decode(latents)

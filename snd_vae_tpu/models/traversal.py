@@ -133,6 +133,22 @@ def traverse_generation(
     )
 
 
+def traverse_joint(cfg: Config, z_sg, fix_dim: int) -> Latents:
+    """Single-latent traversal for the base/joint model
+    (model_joint.py:192-206): sweep one dimension of z_sg over
+    arange(-2, 2, 4/V)."""
+    V = cfg.visualize_length
+    L = cfg.encoder.sg_latent_size
+    length = L
+    z = np.asarray(z_sg).reshape(-1, L)
+    idx = (np.arange(length) + length) % max(len(z), 1)
+    z = np.tile(z[idx][:, None, :], [1, V, 1]).reshape(-1, L)
+    fix_dim = min(fix_dim, L - 1)
+    rang = np.arange(-2.0, 2.0, 4.0 / V)[:V]
+    z[fix_dim * V : fix_dim * V + V, fix_dim] = rang
+    return Latents(z_sg=z[:, None, :].astype(np.float32))
+
+
 def traverse_latent(cfg: Config, z_s, z_g, z_sg) -> Latents:
     """Sweep every dimension of every group (model.py:326-358)."""
     V = cfg.visualize_length

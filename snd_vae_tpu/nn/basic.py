@@ -84,7 +84,6 @@ class Conv1D(nn.Module):
             window_strides=(self.stride,),
             padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
         )
         y = (y + b).astype(dt)
         return y.reshape(lead + y.shape[1:])

@@ -32,7 +32,6 @@ def _conv2d(x, w, padding):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 
@@ -43,7 +42,6 @@ def _conv2d_transpose(x, w, padding):
         x, w, strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 

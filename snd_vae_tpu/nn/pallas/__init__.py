@@ -3,6 +3,7 @@ from .blocked_spmm import (
     blocked_adj_matmul,
     fused_motif_combine,
     fused_motif_combine_reference,
+    motif_combine,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "adj_matmul_reference",
     "fused_motif_combine",
     "fused_motif_combine_reference",
+    "motif_combine",
 ]

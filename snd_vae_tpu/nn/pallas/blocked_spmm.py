@@ -160,6 +160,12 @@ def _motif_kernel(adj_ref, f_ref, a_ref, d_ref, v_ref, deg_ref, o_ref, *, bi: in
         o_ref[0, ii] = (row[:, None] * combine).astype(o_ref.dtype)
 
 
+def _auto_interpret() -> bool:
+    """Pallas TPU kernels only compile on TPU backends (incl. the tunneled
+    'axon' platform); everywhere else fall back to interpret mode."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 @functools.partial(jax.jit, static_argnames=("block_i", "interpret"))
 def fused_motif_combine(
     adj: jnp.ndarray,
@@ -169,7 +175,7 @@ def fused_motif_combine(
     f_ik: jnp.ndarray,
     bias: jnp.ndarray,
     block_i: int = 8,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched motif combine:
     out[b,i,j,h] = A[b,i,j]*(deg[b,j]*(a_i[b,i,h]+d_ij[b,i,j,h]+bias[h])
@@ -177,6 +183,8 @@ def fused_motif_combine(
 
     N is padded to the f32 sublane/lane tile (8, 128); padded nodes have
     zero adjacency so their contributions vanish under the A[i,j] mask."""
+    if interpret is None:
+        interpret = _auto_interpret()
     B, N0, _ = adj.shape
     h0 = a_i.shape[-1]
     a_p = _pad_to(_pad_to(adj, 1, 128), 2, 128)
@@ -227,3 +235,30 @@ def fused_motif_combine_reference(adj, a_i, d_ij, v_j, f_ik, bias):
         + wf
     )
     return adj[..., None] * out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry point: Pallas forward, XLA-derived backward
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def motif_combine(adj, a_i, d_ij, v_j, f_ik, bias):
+    """Differentiable motif combine: the Pallas kernel on the forward pass,
+    with the backward pass taken from the (mathematically identical) XLA
+    reference formula — pallas_call has no automatic transpose rule, and the
+    reference's VJP is itself plain matmuls that XLA fuses well."""
+    return fused_motif_combine(adj, a_i, d_ij, v_j, f_ik, bias)
+
+
+def _motif_fwd(adj, a_i, d_ij, v_j, f_ik, bias):
+    out = fused_motif_combine(adj, a_i, d_ij, v_j, f_ik, bias)
+    return out, (adj, a_i, d_ij, v_j, f_ik, bias)
+
+
+def _motif_bwd(res, g):
+    primals = res
+    _, vjp = jax.vjp(fused_motif_combine_reference, *primals)
+    return vjp(g)
+
+
+motif_combine.defvjp(_motif_fwd, _motif_bwd)

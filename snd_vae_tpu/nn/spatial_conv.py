@@ -74,6 +74,7 @@ class SpatialGraphConv(nn.Module):
     hidden: Tuple[int, int, int]
     stddev: float = 0.02
     bias_start: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, adj: jnp.ndarray, x: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
@@ -87,11 +88,12 @@ class SpatialGraphConv(nn.Module):
         b3 = self.param("bias3", nn.initializers.constant(self.bias_start), (h2,))
         return spatial_graph_conv(
             adj, x, rel, dict(Matrix1=m1, bias1=b1, Matrix2=m2, bias2=b2,
-                              Matrix3=m3, bias3=b3)
+                              Matrix3=m3, bias3=b3),
+            use_pallas=self.use_pallas,
         )
 
 
-def spatial_graph_conv(adj, x, rel, params) -> jnp.ndarray:
+def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.ndarray:
     """Functional factored third-order conv (see module docstring)."""
     F, R = x.shape[-1], rel.shape[-1]
     m1, b1 = params["Matrix1"], params["bias1"]
@@ -119,16 +121,23 @@ def spatial_graph_conv(adj, x, rel, params) -> jnp.ndarray:
                          preferred_element_type=_acc_dtype(dt)).astype(dt)
     ve = jnp.einsum("bjk,bjkh->bjh", adj, e_jk,
                     preferred_element_type=_acc_dtype(dt)).astype(dt)
-    # the N³ term as a dense matmul: Σ_k A[j,k]·f[i,k]
-    wf = jnp.einsum("bjk,bikh->bijh", adj, f_ik,
-                    preferred_element_type=_acc_dtype(dt)).astype(dt)
+    if use_pallas:
+        # fused Pallas kernel: the N³ matmul + combine + mask in one VMEM
+        # pass (nn/pallas/blocked_spmm.py); j-only terms fold into v_j
+        from .pallas import motif_combine
 
-    m3_sum = (
-        deg[:, None, :, None] * (a_i[:, :, None] + b_j[:, None, :] + d_ij + b1)
-        + (neigh_c + ve)[:, None, :]
-        + wf
-    )
-    m3_sum = adj[..., None] * m3_sum                     # A[i,j] mask  [B,N,N,h0]
+        v_combined = deg[..., None] * b_j + neigh_c + ve
+        m3_sum = motif_combine(adj, a_i, d_ij, v_combined, f_ik, b1)
+    else:
+        # the N³ term as a dense matmul: Σ_k A[j,k]·f[i,k]
+        wf = jnp.einsum("bjk,bikh->bijh", adj, f_ik,
+                        preferred_element_type=_acc_dtype(dt)).astype(dt)
+        m3_sum = (
+            deg[:, None, :, None] * (a_i[:, :, None] + b_j[:, None, :] + d_ij + b1)
+            + (neigh_c + ve)[:, None, :]
+            + wf
+        )
+        m3_sum = adj[..., None] * m3_sum                 # A[i,j] mask  [B,N,N,h0]
 
     # --- level 2: masked pair sum ---------------------------------------
     p_i = dot(phi_x, m2[0:F])                            # [B,N,h1]

@@ -65,6 +65,22 @@ def init_state(cfg: Config, batch: GraphBatch, seed: Optional[int] = None) -> Tu
     )
 
 
+
+def _compute_cast(cfg: Config, params, batch: GraphBatch):
+    """Mixed precision: cast float params and batch tensors to the configured
+    compute dtype (bfloat16 on TPU halves HBM traffic; master params stay
+    float32 in the optimizer).  Identity when compute_dtype is float32."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    if cd == jnp.float32:
+        return params, batch
+    cast = lambda t: (
+        t.astype(cd)
+        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating)
+        else t
+    )
+    return jax.tree.map(cast, params), jax.tree.map(cast, batch)
+
+
 def make_train_step(
     cfg: Config, model, optimizer: optax.GradientTransformation
 ) -> Callable:
@@ -74,7 +90,8 @@ def make_train_step(
         key, step_key = jax.random.split(state.key)
 
         def loss_fn(params):
-            out = model.apply({"params": params}, batch, key=step_key)
+            params_c, batch_c = _compute_cast(cfg, params, batch)
+            out = model.apply({"params": params_c}, batch_c, key=step_key)
             total, aux = elbo_loss(
                 cfg, out, batch.adj, batch.features, batch.coords, global_iter
             )
@@ -114,7 +131,8 @@ def make_epoch_step(
         key, step_key = jax.random.split(state.key)
 
         def loss_fn(params):
-            out = model.apply({"params": params}, batch, key=step_key)
+            params_c, batch_c = _compute_cast(cfg, params, batch)
+            out = model.apply({"params": params_c}, batch_c, key=step_key)
             total, aux = elbo_loss(
                 cfg, out, batch.adj, batch.features, batch.coords, global_iter
             )

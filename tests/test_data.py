@@ -171,6 +171,54 @@ def test_load_dataset_roundtrip_reference_layout(tmp_path):
     assert float(batch.coords.max()) <= 1.0 + 1e-6
 
 
+def test_motif_adj_3d_matches_loop(rng):
+    from snd_vae_tpu.data import motif_adj_3d
+    import jax.numpy as jnp
+
+    adj = (rng.random((2, 5, 5)) < 0.5).astype(np.float32)
+    got = np.asarray(motif_adj_3d(jnp.asarray(adj)))
+    for b in range(2):
+        for i in range(5):
+            for j in range(5):
+                for k in range(5):
+                    want = 1.0 if (adj[b, i, j] == 1 and adj[b, j, k] == 1) else 0.0
+                    assert got[b, i, j, k] == want
+
+
+def test_sparse_to_tuple():
+    import scipy.sparse as sp
+    from snd_vae_tpu.data import sparse_to_tuple
+
+    m = sp.csr_matrix(np.array([[0.0, 2.0], [3.0, 0.0]]))
+    coords, values, shape = sparse_to_tuple(m)
+    assert shape == (2, 2)
+    assert sorted(map(tuple, coords.tolist())) == [(0, 1), (1, 0)]
+    assert sorted(values.tolist()) == [2.0, 3.0]
+
+
+def test_dropout_edges_symmetric(rng, key):
+    import jax.numpy as jnp
+    from snd_vae_tpu.data import dropout_edges
+
+    adj = np.ones((6, 6)) - np.eye(6)
+    out = np.asarray(dropout_edges(jnp.asarray(adj), 0.5, key))
+    assert np.allclose(out, out.T)
+    assert set(np.unique(out)).issubset({0.0, 2.0})  # inverted scaling 1/0.5
+
+
+def test_traverse_joint_grid():
+    from snd_vae_tpu.config import preset
+    from snd_vae_tpu.models.traversal import traverse_joint
+
+    cfg = preset("synthetic2")
+    z = np.random.default_rng(0).standard_normal((50, cfg.encoder.sg_latent_size))
+    lat = traverse_joint(cfg, z, fix_dim=3)
+    V = cfg.visualize_length
+    assert lat.z_sg.shape[1] == 1
+    col = np.asarray(lat.z_sg)[3 * V : 3 * V + V, 0, 3]
+    np.testing.assert_allclose(col, np.arange(-2.0, 2.0, 4.0 / V)[:V], atol=1e-6)
+
+
 def test_graphbatch_slice():
     data = generate_synthetic(6, num_nodes=5, seed=9)
     batch = from_numpy(

@@ -47,6 +47,36 @@ def test_blocked_adj_matmul_batched(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_sgconv_use_pallas_matches_default(rng, key):
+    """SpatialGraphConv(use_pallas=True) must equal the einsum path, for
+    values AND gradients (the custom VJP uses the reference backward)."""
+    import jax.numpy as jnp
+    from snd_vae_tpu.nn import SpatialGraphConv
+
+    B, N, F, R = 2, 6, 2, 1
+    adj = (rng.random((B, N, N)) < 0.4).astype(np.float32)
+    adj = np.triu(adj, 1)
+    adj = jnp.asarray(adj + adj.transpose(0, 2, 1))
+    x = jnp.asarray(rng.standard_normal((B, N, F)).astype(np.float32))
+    rel = jnp.asarray(np.abs(rng.standard_normal((B, N, N, R))).astype(np.float32))
+
+    ref_mod = SpatialGraphConv(hidden=(4, 4, 4), use_pallas=False)
+    pal_mod = SpatialGraphConv(hidden=(4, 4, 4), use_pallas=True)
+    params = ref_mod.init(key, adj, x, rel)
+    y_ref = ref_mod.apply(params, adj, x, rel)
+    y_pal = pal_mod.apply(params, adj, x, rel)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-4, atol=1e-5)
+
+    g_ref = jax.grad(lambda p: float(0) + jnp.sum(ref_mod.apply(p, adj, x, rel) ** 2))(params)
+    g_pal = jax.grad(lambda p: float(0) + jnp.sum(pal_mod.apply(p, adj, x, rel) ** 2))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        ),
+        g_ref, g_pal,
+    )
+
+
 def test_fused_motif_combine_matches_reference(rng):
     B, N, h = 2, 10, 6
     adj = (rng.random((B, N, N)) < 0.4).astype(np.float32)

@@ -161,6 +161,28 @@ def test_scene_joint_train_smoke():
     assert float(aux["node_loss"]) == 0.0  # scene: node cost zero
 
 
+def test_bfloat16_mixed_precision(key):
+    """compute_dtype='bfloat16' trains with finite losses close to the f32
+    trajectory (master params stay f32; the ELBO accumulates in f32)."""
+    cfg32 = tiny_cfg()
+    cfg16 = tiny_cfg(compute_dtype="bfloat16")
+    batch = loaders.load_dataset(cfg32, "train", num_graphs=4).slice_batch(0, 4)
+
+    def run(cfg):
+        model, state = init_state(cfg, batch)
+        step = make_train_step(cfg, model, make_optimizer(cfg))
+        losses = []
+        for i in range(5):
+            state, aux = step(state, batch, jnp.asarray(float(i)))
+            losses.append(float(aux["loss"]))
+        assert state.params["sg_lin1"]["kernel"].dtype == jnp.float32
+        return losses
+
+    l32, l16 = run(cfg32), run(cfg16)
+    assert np.isfinite(l16).all()
+    np.testing.assert_allclose(l16, l32, rtol=0.1)  # bf16 ~3 decimal digits
+
+
 def test_checkpoint_resume(tmp_path):
     """Orbax save/restore round-trips the full train state."""
     cfg = tiny_cfg(tmp_path)
