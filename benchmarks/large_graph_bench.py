@@ -1,0 +1,106 @@
+"""Large-N scaling benchmark (BASELINE.json config 5; SURVEY §5).
+
+The reference caps out at N=50: its spatial-motif conv materializes
+O(N³)–O(N⁴) tensors (reference layers.py:143-277) and there is no
+multi-device or blocked path.  This benchmark measures the two TPU-native
+large-N building blocks on real hardware:
+
+  1. GCN neighbor aggregation ``lrelu(A @ (X W))`` at N up to 8192 —
+     XLA dense dot vs the blocked Pallas kernel (nn/pallas/blocked_spmm.py),
+     reported in TFLOP/s.
+  2. The factored third-order SpatialGraphConv at N up to 512 (B=1) —
+     impossible for the reference's dense formula (at N=512, h0=32 the
+     [N,N,N,h] intermediate alone is 512³·32·4 B ≈ 17 TB); the factored
+     form needs O(N²·h) memory and runs on one chip.
+
+Prints one JSON line per configuration.  Not the driver benchmark
+(bench.py is); run manually: ``python benchmarks/large_graph_bench.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snd_vae_tpu.nn.basic import lrelu
+from snd_vae_tpu.nn.pallas import blocked_adj_matmul
+from snd_vae_tpu.nn.spatial_conv import SpatialGraphConv
+
+H = 128
+REPS = 20
+
+
+def _rand_graph(key, n: int, density: float = 0.01):
+    ka, kx = jax.random.split(key)
+    adj = (jax.random.uniform(ka, (n, n)) < density).astype(jnp.float32)
+    adj = jnp.maximum(adj, adj.T)
+    x = jax.random.normal(kx, (n, H), jnp.float32)
+    return adj, x
+
+
+def _time(fn, *args) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / REPS
+
+
+def bench_aggregation():
+    w = jax.random.normal(jax.random.PRNGKey(1), (H, H), jnp.float32) * 0.02
+
+    @jax.jit
+    def xla_path(adj, x):
+        return lrelu(adj @ (x @ w))
+
+    @jax.jit
+    def pallas_path(adj, x):
+        return blocked_adj_matmul(adj, x @ w, leak=0.2)
+
+    for n in (1024, 2048, 4096, 8192):
+        adj, x = _rand_graph(jax.random.PRNGKey(n), n)
+        flops = 2 * n * n * H + 2 * n * H * H
+        for tag, fn in (("xla", xla_path), ("pallas", pallas_path)):
+            dt = _time(fn, adj, x)
+            print(json.dumps({
+                "bench": "gcn_aggregation", "impl": tag, "n": n,
+                "ms": round(dt * 1e3, 3),
+                "tflops": round(flops / dt / 1e12, 2),
+            }), flush=True)
+
+
+def bench_spatial_conv():
+    conv = SpatialGraphConv((32, 32, 32))
+    for n in (128, 256, 512):
+        key = jax.random.PRNGKey(n)
+        adj, _ = _rand_graph(key, n, density=4.0 / n)
+        adj = adj[None]
+        x = jax.random.normal(key, (1, n, 4), jnp.float32)
+        rel = jax.random.normal(key, (1, n, n, 1), jnp.float32)
+        params = conv.init(key, adj, x, rel)
+        fn = jax.jit(lambda a, x_, r: conv.apply(params, a, x_, r))
+        dt = _time(fn, adj, x, rel)
+        dense_bytes = n ** 3 * 32 * 4  # the reference's [N,N,N,h0] intermediate
+        print(json.dumps({
+            "bench": "spatial_graph_conv_factored", "n": n,
+            "ms": round(dt * 1e3, 3),
+            "graphs_per_sec": round(1.0 / dt, 1),
+            "reference_dense_intermediate_GB": round(dense_bytes / 2**30, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    print(json.dumps({"backend": jax.default_backend(),
+                      "device": str(jax.devices()[0])}), flush=True)
+    bench_aggregation()
+    bench_spatial_conv()

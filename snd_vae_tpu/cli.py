@@ -63,9 +63,16 @@ def run_train(
     epochs: Optional[int] = None,
     per_step: bool = False,
     profile: bool = False,
+    dp: int = 1,
+    tp: int = 1,
 ) -> Dict[str, float]:
     batch = loaders.load_dataset(cfg, "train")
-    trainer = Trainer(cfg, batch, workdir=workdir)
+    mesh = None
+    if dp * tp > 1:
+        from .parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(data=dp, model=tp)
+    trainer = Trainer(cfg, batch, mesh=mesh, workdir=workdir)
     profile_dir = os.path.join(workdir, "profile") if profile else None
     return trainer.run(epochs=epochs, per_step=per_step, profile_dir=profile_dir)
 
@@ -214,12 +221,17 @@ def main(argv=None):
                    help="per-batch dispatch instead of the epoch scan")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the second epoch")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size (graphs sharded over 'data')")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (wide kernels over 'model')")
     args = p.parse_args(argv)
 
     cfg = _build_cfg(args)
     if args.type == "train":
         out = run_train(cfg, args.workdir, epochs=args.epochs,
-                        per_step=args.per_step, profile=args.profile)
+                        per_step=args.per_step, profile=args.profile,
+                        dp=args.dp, tp=args.tp)
     elif args.type == "test_reconstruct":
         out = run_test_reconstruct(cfg, args.workdir)
     elif args.type == "test_generation":

@@ -183,6 +183,19 @@ def test_bfloat16_mixed_precision(key):
     np.testing.assert_allclose(l16, l32, rtol=0.1)  # bf16 ~3 decimal digits
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+def test_trainer_mesh_cli_path(tmp_path):
+    """The CLI's --dp/--tp path: a Trainer over a real mesh runs an epoch
+    and logs finite losses (data-parallel 4 x tensor-parallel 2)."""
+    from snd_vae_tpu.cli import run_train
+
+    cfg = tiny_cfg(tmp_path)
+    out = run_train(cfg, str(tmp_path), epochs=1, dp=4, tp=2)
+    assert np.isfinite(out["loss"])
+
+
 def test_checkpoint_resume(tmp_path):
     """Orbax save/restore round-trips the full train state."""
     cfg = tiny_cfg(tmp_path)
