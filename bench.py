@@ -35,35 +35,35 @@ DEFAULT_BASELINE_GRAPHS_PER_SEC = float(
 )
 
 NUM_GRAPHS = 200      # dataset size -> 20 batches per epoch at B=10
-WARMUP_EPOCHS = 1
-MEASURE_EPOCHS = 5
+EPOCH_CHUNK = 25      # epochs per dispatch (tunnel dispatch ~1.3 ms ≈ one
+                      # epoch's compute; chunking amortizes it to 1/25)
+MEASURE_CHUNKS = 4    # 100 measured epochs total
 
 
 def main():
-    from snd_vae_tpu.train import make_epoch_step, rebatch
+    from snd_vae_tpu.train import make_multi_epoch_step, rebatch
 
     cfg = synthetic2_preset()
     B = cfg.train.batch_size  # 10 graphs x sampling_num=10 trees
     data = loaders.load_dataset(cfg, "train", num_graphs=NUM_GRAPHS)
     batched = rebatch(data, B)
     model, state = init_state(cfg, data)
-    epoch_step = make_epoch_step(cfg, model, make_optimizer(cfg))
+    multi_epoch_step = make_multi_epoch_step(cfg, model, make_optimizer(cfg))
 
-    # warmup / compile — the whole epoch (fwd+ELBO+bwd+Adam x num_batches)
-    # is one lax.scan program; data and the epoch counter stay
-    # device-resident across epochs (no per-epoch host transfers)
-    for _ in range(WARMUP_EPOCHS):
-        state, aux = epoch_step(state, batched)
+    # warmup / compile — EPOCH_CHUNK whole epochs (fwd+ELBO+bwd+Adam x
+    # num_batches x epochs) are one nested lax.scan program; data, train
+    # state, and the epoch counter stay device-resident between dispatches
+    state, aux = multi_epoch_step(state, batched, EPOCH_CHUNK)
     jax.block_until_ready(aux["loss"])
 
     nb = batched.adj.shape[0]
     t0 = time.perf_counter()
-    for _ in range(MEASURE_EPOCHS):
-        state, aux = epoch_step(state, batched)
-        jax.block_until_ready(aux["loss"])  # block per epoch: honest timing
+    for _ in range(MEASURE_CHUNKS):
+        state, aux = multi_epoch_step(state, batched, EPOCH_CHUNK)
+        jax.block_until_ready(aux["loss"])  # block per chunk: honest timing
     dt = time.perf_counter() - t0
 
-    graphs_per_sec = MEASURE_EPOCHS * nb * B / dt
+    graphs_per_sec = MEASURE_CHUNKS * EPOCH_CHUNK * nb * B / dt
     print(
         json.dumps(
             {

@@ -65,6 +65,7 @@ def run_train(
     profile: bool = False,
     dp: int = 1,
     tp: int = 1,
+    epoch_chunk: int = 1,
 ) -> Dict[str, float]:
     batch = loaders.load_dataset(cfg, "train")
     mesh = None
@@ -74,7 +75,8 @@ def run_train(
         mesh = pmesh.make_mesh(data=dp, model=tp)
     trainer = Trainer(cfg, batch, mesh=mesh, workdir=workdir)
     profile_dir = os.path.join(workdir, "profile") if profile else None
-    return trainer.run(epochs=epochs, per_step=per_step, profile_dir=profile_dir)
+    return trainer.run(epochs=epochs, per_step=per_step, profile_dir=profile_dir,
+                       epoch_chunk=epoch_chunk)
 
 
 def _restore_for_eval(cfg: Config, workdir: str):
@@ -225,13 +227,15 @@ def main(argv=None):
                    help="data-parallel mesh size (graphs sharded over 'data')")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh size (wide kernels over 'model')")
+    p.add_argument("--epoch-chunk", type=int, default=1, dest="epoch_chunk",
+                   help="epochs per device dispatch (amortizes dispatch latency)")
     args = p.parse_args(argv)
 
     cfg = _build_cfg(args)
     if args.type == "train":
         out = run_train(cfg, args.workdir, epochs=args.epochs,
                         per_step=args.per_step, profile=args.profile,
-                        dp=args.dp, tp=args.tp)
+                        dp=args.dp, tp=args.tp, epoch_chunk=args.epoch_chunk)
     elif args.type == "test_reconstruct":
         out = run_test_reconstruct(cfg, args.workdir)
     elif args.type == "test_generation":

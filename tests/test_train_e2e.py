@@ -1,6 +1,7 @@
 """End-to-end training tests: the loss must decrease and edge accuracy rise
 on a tiny synthetic overfit task (SURVEY §4)."""
 
+import json
 import os
 
 import jax
@@ -181,6 +182,57 @@ def test_bfloat16_mixed_precision(key):
     l32, l16 = run(cfg32), run(cfg16)
     assert np.isfinite(l16).all()
     np.testing.assert_allclose(l16, l32, rtol=0.1)  # bf16 ~3 decimal digits
+
+
+def test_multi_epoch_scan_matches_epoch_steps(key):
+    """3 epochs in one multi-epoch dispatch == 3 sequential epoch dispatches
+    (identical final params, per-epoch loss means equal)."""
+    from snd_vae_tpu.train import make_epoch_step, make_multi_epoch_step, rebatch
+
+    cfg = tiny_cfg()
+    data = loaders.load_dataset(cfg, "train", num_graphs=8)
+    batched = rebatch(data, cfg.train.batch_size)
+    opt = make_optimizer(cfg)
+
+    model, state_a = init_state(cfg, data)
+    epoch_step = make_epoch_step(cfg, model, opt)
+    seq_losses = []
+    for _ in range(3):
+        state_a, aux = epoch_step(state_a, batched)
+        seq_losses.append(float(np.mean(np.asarray(aux["loss"]))))
+
+    _, state_b = init_state(cfg, data)
+    multi = make_multi_epoch_step(cfg, model, opt)
+    state_b, means = multi(state_b, batched, 3)
+
+    np.testing.assert_allclose(
+        np.asarray(means["loss"]), np.asarray(seq_losses), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        jax.device_get(state_a.params), jax.device_get(state_b.params),
+    )
+
+
+def test_trainer_chunked_run(tmp_path):
+    """The epoch_chunk path trains, logs every epoch, and checkpoints on the
+    same cadence as the per-epoch path."""
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "checkpoint_every": 2}
+    ))
+    batch = loaders.load_dataset(cfg, "train", num_graphs=8)
+    trainer = Trainer(cfg, batch, workdir=str(tmp_path))
+    out = trainer.run(epochs=5, verbose=False, epoch_chunk=3)
+    assert np.isfinite(out["loss"])
+    logged = [
+        json.loads(line)["epoch"]
+        for line in open(trainer.logger.jsonl_path)
+    ]
+    assert logged == [0, 1, 2, 3, 4]
+    assert trainer.checkpointer.latest_step() == 4  # epochs 0,2,4 saved
 
 
 @pytest.mark.skipif(
