@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from snd_vae_tpu.config import synthetic2_preset
+from snd_vae_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 from snd_vae_tpu.data import loaders
 from snd_vae_tpu.models import build_model
 from snd_vae_tpu.train import init_state, make_optimizer, make_train_step

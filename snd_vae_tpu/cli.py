@@ -231,6 +231,10 @@ def main(argv=None):
                    help="epochs per device dispatch (amortizes dispatch latency)")
     args = p.parse_args(argv)
 
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = _build_cfg(args)
     if args.type == "train":
         out = run_train(cfg, args.workdir, epochs=args.epochs,

@@ -1,0 +1,31 @@
+"""Persistent XLA compilation cache.
+
+Remote/tunneled TPU compiles are expensive (minutes for the scan-based
+trainer programs) and jit caches are per-process, so every CLI invocation —
+train, resume, each eval mode — used to recompile from scratch.  Pointing
+JAX's persistent compilation cache at a directory makes recompiles
+cross-process cache hits.  The reference has no analog (TF1 rebuilds its
+graph per run, main.py:512).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = os.environ.get(
+    "SND_COMPILE_CACHE", os.path.expanduser("~/.cache/snd_vae_tpu/xla")
+)
+
+
+def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).  Returns the
+    cache directory.  Set SND_COMPILE_CACHE=0 to disable."""
+    if cache_dir in ("0", "", "off"):
+        return ""
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

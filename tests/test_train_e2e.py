@@ -248,6 +248,22 @@ def test_trainer_mesh_cli_path(tmp_path):
     assert np.isfinite(out["loss"])
 
 
+def test_compile_cache_roundtrip(tmp_path):
+    """enable_compilation_cache points JAX's persistent cache at the dir and
+    compiled programs land there (cross-process resume/eval reuse them)."""
+    from snd_vae_tpu.utils.compile_cache import enable_compilation_cache
+
+    d = enable_compilation_cache(str(tmp_path / "xla"))
+    assert os.path.isdir(d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((64, 64))).block_until_ready()
+        assert len(os.listdir(d)) >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def test_checkpoint_resume(tmp_path):
     """Orbax save/restore round-trips the full train state."""
     cfg = tiny_cfg(tmp_path)
