@@ -47,7 +47,7 @@ def knn_dist(x: jnp.ndarray, eps: float = 1e-6, top_k: int = 10) -> Tuple[jnp.nd
     d = jnp.sqrt(jnp.sum(dx * dx, axis=-1) + eps)
     d_max = jnp.max(d, axis=-1, keepdims=True)
     d_adjust = d + d_max  # push self-distance beyond any true neighbor
-    neg_top, e_idx = jax.lax.top_k(-d_adjust, top_k)
+    neg_top, e_idx = jax.lax.top_k(-d_adjust, min(top_k, x.shape[1]))
     return -neg_top, e_idx
 
 
@@ -172,6 +172,16 @@ class StructGraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, adj: jnp.ndarray, x: jnp.ndarray, coords_3d: jnp.ndarray) -> jnp.ndarray:
+        if coords_3d.shape[-1] < 3:
+            # 2D datasets: lift to the z=0 plane.  The geometric stack
+            # (cross products, quaternions) is intrinsically 3D; the
+            # reference's tf.linalg.cross would error outright on 2D coords
+            # (layers.py:683-685), so planar lifting is the defined behavior.
+            pad = 3 - coords_3d.shape[-1]
+            coords_3d = jnp.concatenate(
+                [coords_3d, jnp.zeros(coords_3d.shape[:-1] + (pad,), coords_3d.dtype)],
+                axis=-1,
+            )
         d_neighbors, e_idx = knn_dist(coords_3d, top_k=self.top_k)
         _, o_features = orientations(coords_3d, e_idx)
         rbf = rbf_expand(d_neighbors, self.num_rbf)

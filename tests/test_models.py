@@ -126,6 +126,20 @@ def test_geo_gcn_variant(key):
     assert np.isfinite(np.asarray(out.decoded.coords)).all()
 
 
+def test_pos_gcn_variant_2d(key):
+    """posGCN on a 2D dataset: coords lift to the z=0 plane (the reference's
+    tf.linalg.cross would error outright on 2D, layers.py:683-685)."""
+    cfg = tiny_cfg(model_type="posGCN")
+    batch = loaders.load_dataset(cfg, "train", num_graphs=2)
+    model = build_model(cfg)
+    v = model.init(key, batch, key=key)
+    out = model.apply(v, batch, key=key)
+    assert out.stats.mean_sg.shape[1] == 1
+    assert np.isfinite(np.asarray(out.decoded.coords)).all()
+    total, _ = elbo_loss(cfg, out, batch.adj, batch.features, batch.coords)
+    assert np.isfinite(float(total))
+
+
 def test_outputs_in_range(tiny_batch, key):
     """Sigmoid heads bound features and coordinates to (0,1)."""
     cfg = tiny_cfg()
