@@ -238,6 +238,37 @@ def make_generate_step(cfg: Config, model) -> Callable:
     return jax.jit(gen_step, static_argnums=(2,))
 
 
+class _GracefulStop:
+    """SIGTERM/SIGINT trap: training finishes the current epoch/chunk, saves
+    a checkpoint, and returns cleanly instead of dying mid-step.  The
+    reference loses up to 100 epochs on any interruption (checkpoint cadence,
+    main.py:351; SURVEY §5 names failure recovery as a gap to fill).  Only
+    installed on the main thread; restores prior handlers on exit."""
+
+    def __init__(self):
+        self.stop = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.stop = True
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+            for s in (signal.SIGTERM, signal.SIGINT):
+                self._prev[s] = signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        return False
+
+
 class Trainer:
     """Epoch driver mirroring main.py's train body (main.py:300-356)."""
 
@@ -315,6 +346,7 @@ class Trainer:
         batch_num = max(G // B, 1)
         last_means: Dict[str, float] = {}
         start = self.maybe_restore()
+        stopper = _GracefulStop().__enter__()
         for epoch in range(start, epochs):
             if profile_dir is not None and epoch == prof_epoch:
                 jax.profiler.start_trace(profile_dir)
@@ -351,6 +383,12 @@ class Trainer:
             if epoch % cfg.train.checkpoint_every == 0:
                 self.checkpointer.save(epoch, self.state)
             last_means = self.logger.log(epoch, storer)
+            if stopper.stop:
+                self.checkpointer.save(epoch, self.state)
+                if verbose:
+                    print(f"interrupted: checkpointed epoch {epoch}")
+                break
+        stopper.__exit__()
         return last_means
 
     def _run_chunked(
@@ -364,6 +402,7 @@ class Trainer:
         every = max(cfg.train.checkpoint_every, 1)
         last_means: Dict[str, float] = {}
         epoch = self.maybe_restore()
+        stopper = _GracefulStop().__enter__()
         while epoch < epochs:
             # next cadence epoch at or after `epoch`; chunk must end at cad+1
             cad = epoch + ((every - epoch % every) % every)
@@ -384,4 +423,11 @@ class Trainer:
             epoch = stop
             if (epoch - 1) % every == 0:
                 self.checkpointer.save(epoch - 1, self.state)
+            elif stopper.stop:
+                self.checkpointer.save(epoch - 1, self.state)
+            if stopper.stop:
+                if verbose:
+                    print(f"interrupted: checkpointed epoch {epoch - 1}")
+                break
+        stopper.__exit__()
         return last_means

@@ -248,6 +248,31 @@ def test_trainer_mesh_cli_path(tmp_path):
     assert np.isfinite(out["loss"])
 
 
+def test_graceful_interrupt_checkpoints(tmp_path):
+    """SIGTERM mid-training finishes the current epoch, saves a checkpoint,
+    and returns cleanly (the reference dies losing up to 100 epochs)."""
+    import signal
+    import threading
+
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "checkpoint_every": 1000}  # cadence never fires
+    ))
+    batch = loaders.load_dataset(cfg, "train", num_graphs=4)
+    trainer = Trainer(cfg, batch, workdir=str(tmp_path))
+    timer = threading.Timer(1.5, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        out = trainer.run(epochs=500, verbose=False)
+    finally:
+        timer.cancel()
+    assert np.isfinite(out["loss"])
+    saved = trainer.checkpointer.latest_step()
+    assert saved is not None and saved < 499  # stopped early, state persisted
+    # and the default handler is restored
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_compile_cache_roundtrip(tmp_path):
     """enable_compilation_cache points JAX's persistent cache at the dir and
     compiled programs land there (cross-process resume/eval reuse them)."""
