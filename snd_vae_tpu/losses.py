@@ -187,7 +187,14 @@ def reconstruction_losses(
             d.adj_prob, adj_true, cfg.decoder.num_edge_feature
         )
         node_cost = jnp.asarray(0.0)
-    elif cfg.loss.use_weighted_bce and pos_weight is not None:
+    elif cfg.loss.use_weighted_bce:
+        if pos_weight is None:
+            # derive the class-imbalance stats from the batch on device —
+            # the reference's formulas at main.py:246-247
+            n_tot = jnp.asarray(adj_true.size, adj_true.dtype)
+            n_pos = jnp.maximum(jnp.sum(adj_true), 1.0)
+            pos_weight = (n_tot - n_pos) / n_pos
+            norm = n_tot / (2.0 * jnp.maximum(n_tot - n_pos, 1.0))
         adj_cost = edge_weighted_bce(d.adj_prob, adj_true, pos_weight, norm or 1.0)
         node_cost = mse(d.node_feat, node_true)
     else:

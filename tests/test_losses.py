@@ -99,6 +99,34 @@ def test_weighted_bce_matches_tf_formula(rng):
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+def test_weighted_bce_auto_stats(rng):
+    """With use_weighted_bce and no explicit stats, pos_weight/norm derive
+    from the batch (the reference's main.py:246-247 formulas)."""
+    from snd_vae_tpu.config import synthetic2_preset
+    from snd_vae_tpu.models.outputs import DecodedGraph, ModelOutput
+
+    cfg = synthetic2_preset()
+    cfg = cfg.with_(loss=cfg.loss.__class__(
+        **{**cfg.loss.__dict__, "use_weighted_bce": True}
+    ))
+    B, N = 2, 4
+    logits2 = rng.standard_normal((B, N, N, 2)).astype(np.float32)
+    adj = (rng.random((B, N, N)) < 0.4).astype(np.float32)
+    node = rng.random((B, N, 1)).astype(np.float32)
+    coords = rng.random((B, N, 2)).astype(np.float32)
+    d = DecodedGraph(adj=np.argmax(logits2, -1).astype(np.float32),
+                     adj_prob=jnp.asarray(logits2),
+                     node_feat=jnp.asarray(node), coords=jnp.asarray(coords))
+    out = ModelOutput(decoded=d, stats=None, latents=None)
+    rec = losses.reconstruction_losses(cfg, out, jnp.asarray(adj),
+                                       jnp.asarray(node), jnp.asarray(coords))
+    n_pos = adj.sum()
+    pw = (adj.size - n_pos) / n_pos
+    nm = adj.size / (2 * (adj.size - n_pos))
+    want = float(losses.edge_weighted_bce(jnp.asarray(logits2), jnp.asarray(adj), pw, nm))
+    np.testing.assert_allclose(float(rec["adj_loss"]), want, rtol=1e-6)
+
+
 def test_hierarchical_tc_runs(rng):
     f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
     out = losses.hierarchical_total_correlation(
