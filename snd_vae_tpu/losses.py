@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from .config import Config
 from .models.outputs import LatentStats, ModelOutput
+from .utils.tree import cast_float_leaves
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +181,7 @@ def reconstruction_losses(
     coords_true: jnp.ndarray,
     pos_weight: Optional[float] = None,
     norm: Optional[float] = None,
+    node_mask: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     d = output.decoded
     if cfg.dataset == "scene":
@@ -190,12 +192,19 @@ def reconstruction_losses(
     elif cfg.loss.use_weighted_bce:
         if pos_weight is None:
             # derive the class-imbalance stats from the batch on device —
-            # the reference's formulas at main.py:246-247
-            n_tot = jnp.asarray(adj_true.size, adj_true.dtype)
+            # the reference's formulas at main.py:246-247.  Padded nodes
+            # (node_mask=0) must not count as negatives.
+            if node_mask is not None:
+                pair = node_mask[..., :, None] * node_mask[..., None, :]
+                n_tot = jnp.sum(pair).astype(adj_true.dtype)
+            else:
+                n_tot = jnp.asarray(adj_true.size, adj_true.dtype)
             n_pos = jnp.maximum(jnp.sum(adj_true), 1.0)
             pos_weight = (n_tot - n_pos) / n_pos
             norm = n_tot / (2.0 * jnp.maximum(n_tot - n_pos, 1.0))
-        adj_cost = edge_weighted_bce(d.adj_prob, adj_true, pos_weight, norm or 1.0)
+        if norm is None:
+            norm = 1.0  # no Python truthiness on (possibly traced) norm
+        adj_cost = edge_weighted_bce(d.adj_prob, adj_true, pos_weight, norm)
         node_cost = mse(d.node_feat, node_true)
     else:
         adj_cost = edge_cross_entropy(d.adj_prob, adj_true)
@@ -214,23 +223,20 @@ def elbo_loss(
     beta: Optional[float] = None,
     pos_weight: Optional[float] = None,
     norm: Optional[float] = None,
+    node_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total cost + aux dict, dispatching on model_type exactly as
     OptimizerVAE (optimizer.py:159-194)."""
     beta = cfg.loss.beta if beta is None else beta
     # losses always accumulate in float32 regardless of the forward compute
     # dtype (bfloat16 mixed precision casts the model, never the ELBO)
-    to_f32 = lambda t: (
-        t.astype(jnp.float32)
-        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating)
-        else t
+    output = cast_float_leaves(output, jnp.float32)
+    adj_true, node_true, coords_true = cast_float_leaves(
+        (adj_true, node_true, coords_true), jnp.float32
     )
-    output = jax.tree.map(to_f32, output)
-    adj_true = to_f32(adj_true)
-    node_true = to_f32(node_true)
-    coords_true = to_f32(coords_true)
     rec = reconstruction_losses(
-        cfg, output, adj_true, node_true, coords_true, pos_weight, norm
+        cfg, output, adj_true, node_true, coords_true, pos_weight, norm,
+        node_mask=node_mask,
     )
     mse_loss = rec["adj_loss"] + rec["node_loss"] + rec["spatial_loss"]
     stats = output.stats

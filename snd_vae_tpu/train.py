@@ -35,6 +35,7 @@ from .losses import elbo_loss
 from .models import build_model
 from .parallel import mesh as pmesh
 from .utils.logging import LossesLogger
+from .utils.tree import cast_float_leaves
 
 
 @struct.dataclass
@@ -73,12 +74,7 @@ def _compute_cast(cfg: Config, params, batch: GraphBatch):
     cd = jnp.dtype(cfg.compute_dtype)
     if cd == jnp.float32:
         return params, batch
-    cast = lambda t: (
-        t.astype(cd)
-        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating)
-        else t
-    )
-    return jax.tree.map(cast, params), jax.tree.map(cast, batch)
+    return cast_float_leaves(params, cd), cast_float_leaves(batch, cd)
 
 
 def make_train_step(
@@ -93,7 +89,8 @@ def make_train_step(
             params_c, batch_c = _compute_cast(cfg, params, batch)
             out = model.apply({"params": params_c}, batch_c, key=step_key)
             total, aux = elbo_loss(
-                cfg, out, batch.adj, batch.features, batch.coords, global_iter
+                cfg, out, batch.adj, batch.features, batch.coords, global_iter,
+                node_mask=batch.node_mask,
             )
             # in-graph edge accuracy vs truth (main.py:334)
             acc = jnp.mean((out.decoded.adj == batch.adj).astype(jnp.float32))
@@ -126,7 +123,8 @@ def _make_scan_body(cfg: Config, model, optimizer: optax.GradientTransformation)
             params_c, batch_c = _compute_cast(cfg, params, batch)
             out = model.apply({"params": params_c}, batch_c, key=step_key)
             total, aux = elbo_loss(
-                cfg, out, batch.adj, batch.features, batch.coords, global_iter
+                cfg, out, batch.adj, batch.features, batch.coords, global_iter,
+                node_mask=batch.node_mask,
             )
             acc = jnp.mean((out.decoded.adj == batch.adj).astype(jnp.float32))
             aux["adj_acc"] = acc
@@ -311,12 +309,14 @@ class Trainer:
 
     def maybe_restore(self) -> int:
         """Resume from the latest checkpoint if one exists; returns the
-        starting epoch."""
+        starting epoch.  A checkpoint saved at epoch e holds the state AFTER
+        e's updates, so training resumes at e+1 (re-training e would fork the
+        trajectory and duplicate its log row)."""
         step = self.checkpointer.latest_step()
         if step is None:
             return 0
         self.state = self.checkpointer.restore(self.state, step)
-        return int(step)
+        return int(step) + 1
 
     def run(
         self,
@@ -347,48 +347,50 @@ class Trainer:
         last_means: Dict[str, float] = {}
         start = self.maybe_restore()
         stopper = _GracefulStop().__enter__()
-        for epoch in range(start, epochs):
-            if profile_dir is not None and epoch == prof_epoch:
-                jax.profiler.start_trace(profile_dir)
-            epoch_time = time.time()
-            if per_step:
-                storer = defaultdict(list)
-                for i in range(batch_num):
-                    batch = self.data.slice_batch(i * B, B)
-                    t = time.time()
-                    self.state, aux = self.train_step(
-                        self.state, batch, jnp.asarray(epoch, jnp.float32)
-                    )
-                    for k, v in aux.items():
-                        storer[k].append(float(v))
+        try:
+            for epoch in range(start, epochs):
+                if profile_dir is not None and epoch == prof_epoch:
+                    jax.profiler.start_trace(profile_dir)
+                epoch_time = time.time()
+                if per_step:
+                    storer = defaultdict(list)
+                    for i in range(batch_num):
+                        batch = self.data.slice_batch(i * B, B)
+                        t = time.time()
+                        self.state, aux = self.train_step(
+                            self.state, batch, jnp.asarray(epoch, jnp.float32)
+                        )
+                        for k, v in aux.items():
+                            storer[k].append(float(v))
+                        if verbose:
+                            print(
+                                f"Epoch: {epoch + 1:04d} loss= {storer['loss'][-1]:.5f} "
+                                f"time= {time.time() - t:.5f}"
+                            )
+                else:
+                    self.state, aux = self.epoch_step(self.state, self.batched)
+                    aux = jax.device_get(aux)  # one sync per epoch
+                    storer = {k: list(np.asarray(v)) for k, v in aux.items()}
                     if verbose:
                         print(
-                            f"Epoch: {epoch + 1:04d} loss= {storer['loss'][-1]:.5f} "
-                            f"time= {time.time() - t:.5f}"
+                            f"Epoch: {epoch + 1:04d} loss= "
+                            f"{float(np.mean(storer['loss'])):.5f}"
                         )
-            else:
-                self.state, aux = self.epoch_step(self.state, self.batched)
-                aux = jax.device_get(aux)  # one sync per epoch
-                storer = {k: list(np.asarray(v)) for k, v in aux.items()}
+                if profile_dir is not None and epoch == prof_epoch:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
                 if verbose:
-                    print(
-                        f"Epoch: {epoch + 1:04d} loss= "
-                        f"{float(np.mean(storer['loss'])):.5f}"
-                    )
-            if profile_dir is not None and epoch == prof_epoch:
-                jax.block_until_ready(self.state.params)
-                jax.profiler.stop_trace()
-            if verbose:
-                print(f"epoch time= {time.time() - epoch_time:.5f}")
-            if epoch % cfg.train.checkpoint_every == 0:
-                self.checkpointer.save(epoch, self.state)
-            last_means = self.logger.log(epoch, storer)
-            if stopper.stop:
-                self.checkpointer.save(epoch, self.state)
-                if verbose:
-                    print(f"interrupted: checkpointed epoch {epoch}")
-                break
-        stopper.__exit__()
+                    print(f"epoch time= {time.time() - epoch_time:.5f}")
+                if epoch % cfg.train.checkpoint_every == 0:
+                    self.checkpointer.save(epoch, self.state)
+                last_means = self.logger.log(epoch, storer)
+                if stopper.stop:
+                    self.checkpointer.save(epoch, self.state)
+                    if verbose:
+                        print(f"interrupted: checkpointed epoch {epoch}")
+                    break
+        finally:
+            stopper.__exit__()
         return last_means
 
     def _run_chunked(
@@ -403,31 +405,45 @@ class Trainer:
         last_means: Dict[str, float] = {}
         epoch = self.maybe_restore()
         stopper = _GracefulStop().__enter__()
-        while epoch < epochs:
-            # next cadence epoch at or after `epoch`; chunk must end at cad+1
-            cad = epoch + ((every - epoch % every) % every)
-            stop = min(epochs, epoch + epoch_chunk, cad + 1)
-            n = stop - epoch
-            t0 = time.time()
-            self.state, means = self.multi_epoch_step(self.state, self.batched, n)
-            means = jax.device_get(means)  # one sync per chunk, [n, ...] leaves
-            dt = time.time() - t0
-            for i in range(n):
-                row = {k: [float(np.asarray(v)[i])] for k, v in means.items()}
-                last_means = self.logger.log(epoch + i, row)
-            if verbose:
-                print(
-                    f"Epoch: {stop:04d} loss= {last_means['loss']:.5f} "
-                    f"chunk({n})/time= {dt:.5f}"
-                )
-            epoch = stop
-            if (epoch - 1) % every == 0:
-                self.checkpointer.save(epoch - 1, self.state)
-            elif stopper.stop:
-                self.checkpointer.save(epoch - 1, self.state)
-            if stopper.stop:
+        try:
+            while epoch < epochs:
+                # next cadence epoch at or after `epoch`; chunk must end at cad+1
+                cad = epoch + ((every - epoch % every) % every)
+                stop = min(epochs, epoch + epoch_chunk, cad + 1)
+                n = stop - epoch
+                t0 = time.time()
+                if n == 1:
+                    # reuse the epoch program instead of compiling a one-epoch
+                    # multi-epoch scan (fresh runs always start with an n=1
+                    # chunk at the epoch-0 cadence boundary; the extra
+                    # whole-program compile costs minutes on a remote chip)
+                    self.state, aux = self.epoch_step(self.state, self.batched)
+                    aux = jax.device_get(aux)  # [num_batches, ...] leaves
+                    means = {k: np.mean(np.asarray(v), axis=0, keepdims=True)
+                             for k, v in aux.items()}
+                else:
+                    self.state, means = self.multi_epoch_step(
+                        self.state, self.batched, n
+                    )
+                    means = jax.device_get(means)  # one sync, [n, ...] leaves
+                dt = time.time() - t0
+                for i in range(n):
+                    row = {k: [float(np.asarray(v)[i])] for k, v in means.items()}
+                    last_means = self.logger.log(epoch + i, row)
                 if verbose:
-                    print(f"interrupted: checkpointed epoch {epoch - 1}")
-                break
-        stopper.__exit__()
+                    print(
+                        f"Epoch: {stop:04d} loss= {last_means['loss']:.5f} "
+                        f"chunk({n})/time= {dt:.5f}"
+                    )
+                epoch = stop
+                if (epoch - 1) % every == 0:
+                    self.checkpointer.save(epoch - 1, self.state)
+                elif stopper.stop:
+                    self.checkpointer.save(epoch - 1, self.state)
+                if stopper.stop:
+                    if verbose:
+                        print(f"interrupted: checkpointed epoch {epoch - 1}")
+                    break
+        finally:
+            stopper.__exit__()
         return last_means

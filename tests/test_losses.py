@@ -118,8 +118,10 @@ def test_weighted_bce_auto_stats(rng):
                      adj_prob=jnp.asarray(logits2),
                      node_feat=jnp.asarray(node), coords=jnp.asarray(coords))
     out = ModelOutput(decoded=d, stats=None, latents=None)
-    rec = losses.reconstruction_losses(cfg, out, jnp.asarray(adj),
-                                       jnp.asarray(node), jnp.asarray(coords))
+    # under jit: the derived stats are traced scalars (a Python truthiness
+    # check on them is the regression this guards against)
+    rec_fn = jax.jit(lambda o, a, n, c: losses.reconstruction_losses(cfg, o, a, n, c))
+    rec = rec_fn(out, jnp.asarray(adj), jnp.asarray(node), jnp.asarray(coords))
     n_pos = adj.sum()
     pw = (adj.size - n_pos) / n_pos
     nm = adj.size / (2 * (adj.size - n_pos))

@@ -299,7 +299,7 @@ def test_checkpoint_resume(tmp_path):
 
     trainer2 = Trainer(cfg, batch, workdir=str(tmp_path))
     start = trainer2.maybe_restore()
-    assert start == 0  # saved at epoch 0
+    assert start == 1  # epoch 0's completed state was saved; resume at 1
     restored = jax.device_get(trainer2.state.params)
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
