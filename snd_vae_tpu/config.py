@@ -126,6 +126,12 @@ class TrainConfig:
     log_dir: str = "logs"
     seed: int = 1                 # np.random.seed(1) at main.py:124-125
     restore_epoch: Optional[int] = None  # None = latest
+    # corrected-mode option: re-permute the graph->batch assignment each
+    # epoch on device.  The reference trains on FIXED contiguous batches
+    # every epoch (main.py:315-323), which is also what lets XLA hoist
+    # data-only contractions out of the epoch scan — so parity (and the
+    # fastest path) is False.
+    reshuffle: bool = False
 
 
 @dataclass(frozen=True)

@@ -141,6 +141,24 @@ def _make_scan_body(cfg: Config, model, optimizer: optax.GradientTransformation)
     return one_step
 
 
+def _maybe_reshuffle(cfg: Config, state: TrainState, batched: GraphBatch) -> GraphBatch:
+    """Corrected-mode per-epoch reshuffle (cfg.train.reshuffle): re-permute
+    the graph->batch assignment on device.  Identity in parity mode — the
+    reference trains on fixed contiguous batches (main.py:315-323)."""
+    if not cfg.train.reshuffle:
+        return batched
+    nb, b = batched.adj.shape[:2]
+    perm = jax.random.permutation(jax.random.fold_in(state.key, 17), nb * b)
+
+    def shuf(x):
+        if x is None:
+            return None
+        flat = x.reshape((nb * b,) + x.shape[2:])
+        return flat[perm].reshape(x.shape)
+
+    return jax.tree.map(shuf, batched)
+
+
 def make_epoch_step(
     cfg: Config, model, optimizer: optax.GradientTransformation
 ) -> Callable:
@@ -155,6 +173,7 @@ def make_epoch_step(
 
     def epoch_step(state: TrainState, batched: GraphBatch):
         nb = jnp.asarray(batched.adj.shape[0], jnp.int32)
+        batched = _maybe_reshuffle(cfg, state, batched)
         (state, _), aux = jax.lax.scan(one_step, (state, nb), batched)
         return state, aux  # aux leaves have a leading [num_batches] axis
 
@@ -181,7 +200,8 @@ def make_multi_epoch_step(
         nb = jnp.asarray(batched.adj.shape[0], jnp.int32)
 
         def epoch_body(st, _):
-            (st, _), aux = jax.lax.scan(one_step, (st, nb), batched)
+            shuffled = _maybe_reshuffle(cfg, st, batched)
+            (st, _), aux = jax.lax.scan(one_step, (st, nb), shuffled)
             return st, jax.tree.map(lambda a: jnp.mean(a, axis=0), aux)
 
         state, means = jax.lax.scan(epoch_body, state, None, length=num_epochs)

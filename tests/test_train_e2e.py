@@ -248,6 +248,32 @@ def test_trainer_mesh_cli_path(tmp_path):
     assert np.isfinite(out["loss"])
 
 
+def test_reshuffle_option(key):
+    """cfg.train.reshuffle=True re-permutes graph->batch assignment per epoch
+    (corrected mode); False reproduces the reference's fixed contiguous
+    batches and must equal the unshuffled scan bit-for-bit."""
+    from snd_vae_tpu.train import make_epoch_step, make_optimizer, rebatch
+
+    cfg = tiny_cfg()
+    cfg_sh = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "reshuffle": True}
+    ))
+    data = loaders.load_dataset(cfg, "train", num_graphs=8)
+    batched = rebatch(data, cfg.train.batch_size)
+
+    model, s0 = init_state(cfg, data)
+    opt = make_optimizer(cfg)
+    s_fixed, aux_fixed = make_epoch_step(cfg, model, opt)(s0, batched)
+
+    _, s1 = init_state(cfg_sh, data)
+    s_shuf, aux_shuf = make_epoch_step(cfg_sh, model, opt)(s1, batched)
+
+    assert np.isfinite(np.asarray(aux_shuf["loss"])).all()
+    # same init/keys, different batch composition -> different loss sequence
+    assert not np.allclose(np.asarray(aux_fixed["loss"]),
+                           np.asarray(aux_shuf["loss"]))
+
+
 def test_graceful_interrupt_checkpoints(tmp_path):
     """SIGTERM mid-training finishes the current epoch, saves a checkpoint,
     and returns cleanly (the reference dies losing up to 100 epochs)."""
