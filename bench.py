@@ -38,15 +38,18 @@ DEFAULT_BASELINE_GRAPHS_PER_SEC = float(
 )
 
 NUM_GRAPHS = 200      # dataset size -> 20 batches per epoch at B=10
-EPOCH_CHUNK = 25      # epochs per dispatch (tunnel dispatch ~1.3 ms ≈ one
-                      # epoch's compute; chunking amortizes it to 1/25)
-MEASURE_CHUNKS = 4    # 100 measured epochs total
+EPOCH_CHUNK = 100     # epochs per dispatch (amortizes the per-dispatch and
+                      # per-fetch host round-trips to <1% of chunk time)
+MEASURE_CHUNKS = 2    # 200 measured epochs total
 
 
 def main():
     from snd_vae_tpu.train import make_multi_epoch_step, rebatch
 
-    cfg = synthetic2_preset()
+    # bfloat16 compute with f32 master params and f32 ELBO accumulation —
+    # the standard TPU mixed-precision mode; measured 1.8x over f32 at this
+    # operating point (BASELINE.md records both).
+    cfg = synthetic2_preset(compute_dtype="bfloat16")
     B = cfg.train.batch_size  # 10 graphs x sampling_num=10 trees
     data = loaders.load_dataset(cfg, "train", num_graphs=NUM_GRAPHS)
     batched = rebatch(data, B)
@@ -55,15 +58,21 @@ def main():
 
     # warmup / compile — EPOCH_CHUNK whole epochs (fwd+ELBO+bwd+Adam x
     # num_batches x epochs) are one nested lax.scan program; data, train
-    # state, and the epoch counter stay device-resident between dispatches
+    # state, and the epoch counter stay device-resident between dispatches.
+    #
+    # TIMING FENCE: on the tunneled TPU backend jax.block_until_ready
+    # resolves without awaiting remote execution (measured: 4 chunks
+    # "block" in 8 ms, then a device_get absorbs a 33 s backlog), so the
+    # only honest fence is fetching the values to the host.  Every timed
+    # iteration ends with a device_get of the per-epoch losses.
     state, aux = multi_epoch_step(state, batched, EPOCH_CHUNK)
-    jax.block_until_ready(aux["loss"])
+    jax.device_get(aux["loss"])
 
     nb = batched.adj.shape[0]
     t0 = time.perf_counter()
     for _ in range(MEASURE_CHUNKS):
         state, aux = multi_epoch_step(state, batched, EPOCH_CHUNK)
-        jax.block_until_ready(aux["loss"])  # block per chunk: honest timing
+        jax.device_get(aux["loss"])  # host fetch per chunk: honest fence
     dt = time.perf_counter() - t0
 
     graphs_per_sec = MEASURE_CHUNKS * EPOCH_CHUNK * nb * B / dt

@@ -46,32 +46,44 @@ def _rand_graph(key, n: int, density: float = 0.01):
     return adj, x
 
 
-def _time(fn, *args) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _time_chained(make_step, init_carry, *operands, iters: int = 50) -> float:
+    """Honest per-op timing over a high-latency tunnel: run ``iters``
+    data-dependent repetitions of the op inside ONE jit program (lax.scan),
+    fetch a scalar once, and divide.  jax.block_until_ready resolves without
+    awaiting remote execution on this backend, and the ~100 ms fetch
+    round-trip would swamp a sub-ms op if fenced per repetition.  Operands
+    are jit ARGUMENTS, not closure constants — embedding a 256 MB adjacency
+    as a program constant overflows the remote-compile request."""
+
+    @jax.jit
+    def program(c0, *ops):
+        def body(c, _):
+            return make_step(c, *ops), None
+        c, _ = jax.lax.scan(body, c0, None, length=iters)
+        return jax.tree.map(jnp.sum, c) if not hasattr(c, "sum") else jnp.sum(c)
+
+    jax.device_get(program(init_carry, *operands))   # compile + warm
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / REPS
+    jax.device_get(program(init_carry, *operands))   # one fetch fences all
+    total = time.perf_counter() - t0
+    return total / iters
 
 
 def bench_aggregation():
     w = jax.random.normal(jax.random.PRNGKey(1), (H, H), jnp.float32) * 0.02
 
-    @jax.jit
-    def xla_path(adj, x):
-        return lrelu(adj @ (x @ w))
-
-    @jax.jit
-    def pallas_path(adj, x):
-        return blocked_adj_matmul(adj, x @ w, leak=0.2)
-
     for n in (1024, 2048, 4096, 8192):
         adj, x = _rand_graph(jax.random.PRNGKey(n), n)
         flops = 2 * n * n * H + 2 * n * H * H
-        for tag, fn in (("xla", xla_path), ("pallas", pallas_path)):
-            dt = _time(fn, adj, x)
+
+        def xla_step(c, a, x0):
+            return lrelu(a @ (c @ w)) * 1e-3 + x0
+
+        def pallas_step(c, a, x0):
+            return blocked_adj_matmul(a, c @ w, leak=0.2) * 1e-3 + x0
+
+        for tag, step in (("xla", xla_step), ("pallas", pallas_step)):
+            dt = _time_chained(step, x, adj, x)
             print(json.dumps({
                 "bench": "gcn_aggregation", "impl": tag, "n": n,
                 "ms": round(dt * 1e3, 3),
@@ -88,8 +100,12 @@ def bench_spatial_conv():
         x = jax.random.normal(key, (1, n, 4), jnp.float32)
         rel = jax.random.normal(key, (1, n, n, 1), jnp.float32)
         params = conv.init(key, adj, x, rel)
-        fn = jax.jit(lambda a, x_, r: conv.apply(params, a, x_, r))
-        dt = _time(fn, adj, x, rel)
+
+        def step(c, a, x0, r):
+            out = conv.apply(params, a, x0 + c * 1e-20, r)
+            return jnp.sum(out) * 1e-12  # scalar carry keeps the data dependence
+
+        dt = _time_chained(step, jnp.zeros(()), adj, x, rel)
         dense_bytes = n ** 3 * 32 * 4  # the reference's [N,N,N,h0] intermediate
         print(json.dumps({
             "bench": "spatial_graph_conv_factored", "n": n,

@@ -128,9 +128,8 @@ class TrainConfig:
     restore_epoch: Optional[int] = None  # None = latest
     # corrected-mode option: re-permute the graph->batch assignment each
     # epoch on device.  The reference trains on FIXED contiguous batches
-    # every epoch (main.py:315-323), which is also what lets XLA hoist
-    # data-only contractions out of the epoch scan — so parity (and the
-    # fastest path) is False.
+    # every epoch (main.py:315-323), so parity is False (also skips the
+    # per-epoch permutation gather).
     reshuffle: bool = False
 
 

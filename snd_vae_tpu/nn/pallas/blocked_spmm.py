@@ -76,14 +76,24 @@ def _adj_matmul_kernel(a_ref, x_ref, o_ref, acc_ref, *, n_k: int, leak):
 def blocked_adj_matmul(
     adj: jnp.ndarray,
     x: jnp.ndarray,
-    block_n: int = 128,
-    block_k: int = 128,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     block_h: int = 128,
     leak: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[N,M] @ [M,H] (single graph) or batched via vmap.  ``leak`` fuses a
-    leaky-ReLU epilogue (leak=0.2 reproduces lrelu, layers.py:112-113)."""
+    leaky-ReLU epilogue (leak=0.2 reproduces lrelu, layers.py:112-113).
+
+    Default blocks adapt to N: (256, 1024) for N>=2048 measured fastest on
+    v5e (0.98 ms at N=8192 vs 1.95 ms with 128x128 blocks; XLA's native dot
+    is still ~20% faster for a PLAIN A@X — this kernel earns its keep via
+    the fused epilogue and VMEM-resident composition, see
+    fused_motif_combine)."""
+    if block_n is None:
+        block_n = 256 if adj.shape[-2] >= 2048 else 128
+    if block_k is None:
+        block_k = 1024 if adj.shape[-1] >= 2048 else 128
     if adj.ndim == 3:
         fn = functools.partial(
             blocked_adj_matmul, block_n=block_n, block_k=block_k,

@@ -114,8 +114,8 @@ def _make_scan_body(cfg: Config, model, optimizer: optax.GradientTransformation)
     def one_step(carry, batch):
         state, nb = carry
         # epoch number derived ON DEVICE from the step counter — feeding a
-        # fresh host scalar per epoch costs a ~75ms host->device transfer on
-        # a tunneled TPU, 50x the epoch's compute
+        # fresh host scalar per epoch costs a ~75 ms host->device transfer
+        # on a tunneled TPU, ~2x the epoch's device compute
         global_iter = jnp.floor_divide(state.step, nb).astype(jnp.float32)
         key, step_key = jax.random.split(state.key)
 
@@ -186,11 +186,14 @@ def make_multi_epoch_step(
     """A jit-compiled CHUNK of epochs: lax.scan over epochs around the
     per-epoch batch scan.
 
-    On a tunneled chip one dispatch costs ~1.3 ms — the same as the whole
-    epoch's compute at the reference operating point — so even the
-    epoch-scan path is ~50% dispatch overhead.  Scanning E epochs per
-    dispatch amortizes it to 1/E.  Per-epoch loss means are reduced on
-    device, so the host transfer stays one small [E, ...] pytree per chunk.
+    On the tunneled chip a host fetch round-trip costs ~50-100 ms — more
+    than the whole epoch's device compute (~43 ms f32 / ~23 ms bf16 at the
+    reference operating point) — so the per-epoch fetch dominates the epoch
+    scan.  Scanning E epochs per dispatch amortizes it to 1/E.  Per-epoch
+    loss means are reduced on device, so the host transfer stays one small
+    [E, ...] pytree per chunk.  NOTE: on this backend only a value fetch
+    (device_get) fences execution; block_until_ready resolves early
+    (BASELINE.md "Timing-fence pitfall").
 
     Returns ``fn(state, batched, num_epochs)`` (num_epochs static)."""
     one_step = _make_scan_body(cfg, model, optimizer)
@@ -350,7 +353,7 @@ class Trainer:
         per epoch); ``per_step=True`` falls back to one dispatch per batch
         (the reference's loop granularity, main.py:315-353);
         ``epoch_chunk=E>1`` scans E epochs per dispatch (amortizes the
-        ~1.3 ms tunnel dispatch latency; chunks never cross a checkpoint
+        ~50-100 ms per-fetch tunnel round-trip; chunks never cross a checkpoint
         boundary, so save/log semantics match the per-epoch path).
 
         ``profile_dir`` captures a jax.profiler device trace of the second
