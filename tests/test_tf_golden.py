@@ -229,3 +229,53 @@ def test_inner_product_decoder_matches_reference(ref_layers, rng):
             sess.run(tf.global_variables_initializer())
             got = sess.run(y, {zz: z})
     np.testing.assert_allclose(ours, got, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_optimizer(ref_layers):
+    """Import the reference's optimizer.py under the same TF1 shim (its
+    regularizer formulas DIP / gaussian_log_density / total_correlation are
+    self-contained TF functions, optimizer.py:7-63).  The reference uses
+    ``np.math.pi`` (optimizer.py:24), an alias numpy 2 removed — restore it
+    for the duration of the fixture."""
+    import math
+
+    had = hasattr(np, "math")
+    if not had:
+        np.math = math
+    import optimizer as ref_opt
+
+    yield ref_opt
+    if not had and hasattr(np, "math"):
+        del np.math
+
+
+def test_dip_regularizer_matches_reference(ref_optimizer, rng):
+    from snd_vae_tpu import losses
+
+    mu = rng.standard_normal((16, 6)).astype(np.float32)
+    ours = float(losses.dip_regularizer(jnp.asarray(mu), 10.0, 100.0))
+    with tf.Graph().as_default():
+        m = tf.placeholder(tf.float32, [16, 6])
+        y = ref_optimizer.DIP(m, lambda_od=10.0, lambda_d=100.0)
+        with tf.Session() as sess:
+            got = sess.run(y, {m: mu})
+    np.testing.assert_allclose(ours, got, rtol=1e-4)
+
+
+def test_total_correlation_matches_reference(ref_optimizer, rng):
+    from snd_vae_tpu import losses
+
+    z = rng.standard_normal((16, 6)).astype(np.float32)
+    mu = rng.standard_normal((16, 6)).astype(np.float32)
+    logstd = (0.1 * rng.standard_normal((16, 6))).astype(np.float32)
+    ours = float(losses.total_correlation(
+        jnp.asarray(z), jnp.asarray(mu), jnp.asarray(logstd)))
+    with tf.Graph().as_default():
+        zz = tf.placeholder(tf.float32, [16, 6])
+        mm = tf.placeholder(tf.float32, [16, 6])
+        ss = tf.placeholder(tf.float32, [16, 6])
+        y = ref_optimizer.total_correlation(zz, mm, ss)
+        with tf.Session() as sess:
+            got = sess.run(y, {zz: z, mm: mu, ss: logstd})
+    np.testing.assert_allclose(ours, got, rtol=1e-4)
