@@ -86,6 +86,25 @@ def load_reference(overrides: Optional[Dict] = None):
     )
     original_tf = sys.modules.get("tensorflow")
     sys.modules["tensorflow"] = shim
+
+    # model_joint.py imports tensorflow.compat.v1 DIRECTLY (model_joint.py:2),
+    # bypassing the top-level shim, so shim that module path too: same
+    # delegation, with the TF1-style layers.conv1d and frozen keras BN that
+    # Keras 3 removed.
+    shim_v1 = types.ModuleType("tensorflow.compat.v1")
+    shim_v1.__getattr__ = lambda name: getattr(tf, name)
+    shim_v1.__spec__ = importlib.machinery.ModuleSpec(
+        "tensorflow.compat.v1", loader=None
+    )
+    shim_v1.layers = shim.layers
+    shim_v1.keras = shim.keras
+    original_tf_v1 = sys.modules.get("tensorflow.compat.v1")
+    sys.modules["tensorflow.compat.v1"] = shim_v1
+    # `import tensorflow.compat.v1 as tf` binds via attribute access on the
+    # parent modules, so the chain must resolve to shim_v1 explicitly (the
+    # shim's __getattr__ delegation would land on the real module)
+    shim.compat = types.SimpleNamespace(v1=shim_v1)
+
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
 
@@ -131,6 +150,9 @@ def load_reference(overrides: Optional[Dict] = None):
         "type": "train",
         "dataset": "synthetic2",
         "sampling_num": 10,
+        # read unconditionally by model_joint.py:171 but never DEFINEd in the
+        # reference (SURVEY §2.5) — the base model requires it to exist
+        "num_edge_feature": 2,
     }
     for k, v in defaults.items():
         if k in FLAGS:
@@ -157,15 +179,18 @@ def load_reference(overrides: Optional[Dict] = None):
 
     import layers as ref_layers  # noqa: E402
     import model as ref_model  # noqa: E402
+    import model_joint as ref_model_joint  # noqa: E402
     import optimizer as ref_optimizer  # noqa: E402
 
     _loaded = types.SimpleNamespace(
         tf=tf,
         shim=shim,
         original_tf=original_tf,
+        original_tf_v1=original_tf_v1,
         FLAGS=FLAGS,
         layers=ref_layers,
         model=ref_model,
+        model_joint=ref_model_joint,
         optimizer=ref_optimizer,
     )
     return _loaded
@@ -176,3 +201,5 @@ def restore_tensorflow_module():
     probes importlib specs, e.g. orbax)."""
     if _loaded is not None and _loaded.original_tf is not None:
         sys.modules["tensorflow"] = _loaded.original_tf
+    if _loaded is not None and getattr(_loaded, "original_tf_v1", None) is not None:
+        sys.modules["tensorflow.compat.v1"] = _loaded.original_tf_v1

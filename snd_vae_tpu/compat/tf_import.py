@@ -137,6 +137,49 @@ def map_reference_variables(
     return p
 
 
+def map_reference_variables_joint(
+    tf_vars: Mapping[str, np.ndarray], cfg: Config
+) -> Dict:
+    """{tf_variable_name: array} -> Flax 'params' dict for JointSNDVAE.
+    Scopes from the reference's base model (model_joint.py:72-182): a single
+    sg encoder branch (no post-conv encoder BN) and three decoder heads off
+    joint_h (e-branch applies BN before each e2e conv)."""
+    enc, dec = cfg.encoder, cfg.decoder
+    p: Dict = {}
+
+    n_mats = 4 if cfg.uses_3d_conv else 3
+    first = 0 if cfg.uses_3d_conv else 1
+    for i in range(len(enc.sg_conv_hidden)):
+        scope = f"encoder/g_sg{i}_conv"
+        mats = {}
+        for j in range(first, first + n_mats):
+            mats[f"Matrix{j}"] = np.asarray(tf_vars[f"{scope}/Matrix{j}:0"], np.float32)
+            mats[f"bias{j}"] = np.asarray(tf_vars[f"{scope}/bias{j}:0"], np.float32)
+        p[f"sg_convs_{i}"] = mats
+        _bn(p, f"sg_bns_{i}", tf_vars, f"encoder/g_bn_sg{i}")
+    _lin(p, "sg_lin1", tf_vars, "encoder/g_sg1_lin")
+    _lin(p, "sg_lin_mean", tf_vars, "encoder/g_sg2_lin")
+    _lin(p, "sg_lin_std", tf_vars, "encoder/g_sg3_lin")
+
+    _lin(p, "d_sg_lin1", tf_vars, "decoder/d_sg_lin1")
+    for i in range(len(dec.s_d_channels)):
+        _conv1d(p, f"s_deconvs_{i}", tf_vars, f"decoder/s{i + 1}_deconv")
+        _bn(p, f"d_bn_s_{i}", tf_vars, f"decoder/d_bn_s{i}")
+    _lin(p, "d_s_lin2", tf_vars, "decoder/d_s_lin2")
+    for i in range(len(dec.n_d_channels)):
+        _conv1d(p, f"n_deconvs_{i}", tf_vars, f"decoder/n{i}_deconv")
+        _bn(p, f"d_bn_n_{i}", tf_vars, f"decoder/d_bn_n{i}")
+    _lin(p, "d_n_lin2", tf_vars, "decoder/d_n_lin2")
+    for i in range(len(dec.e_d_hidden)):
+        p[f"e_deconvs_{i}"] = {
+            "w1": np.asarray(tf_vars[f"decoder/e{i}_deconv/w1:0"], np.float32),
+            "biases1": np.asarray(tf_vars[f"decoder/e{i}_deconv/biases1:0"], np.float32),
+        }
+        _bn(p, f"d_bn_e_{i}", tf_vars, f"decoder/d_bn_e{i}")
+    _lin(p, "d_e_lin2", tf_vars, "decoder/d_e_lin2")
+    return p
+
+
 def load_tf_checkpoint(ckpt_path: str, cfg: Config) -> Dict:
     """Read a reference tf.train.Saver checkpoint and map it to our params.
 
