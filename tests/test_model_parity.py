@@ -145,6 +145,14 @@ def ref_run(rng=np.random.default_rng(7)):
         with tf.Session() as sess:
             sess.run(tf.global_variables_initializer())
             tf_vars = {v.name: sess.run(v) for v in tf.global_variables()}
+            # persist a real tf.train.Saver checkpoint (the reference's
+            # format, main.py:351-352) for the import round-trip test
+            import tempfile
+
+            ckpt_dir = tempfile.mkdtemp(prefix="ref_ckpt_")
+            ckpt_path = tf.train.Saver().save(
+                sess, ckpt_dir + "/model_dgt_global_0.ckpt"
+            )
             fetches = sess.run(
                 {
                     "z_mean_s": model.z_mean_s,
@@ -166,7 +174,8 @@ def ref_run(rng=np.random.default_rng(7)):
                 feed,
             )
     restore_tensorflow_module()
-    data = dict(adj_truth=adj_truth, feats=feats, coords=coords, rel=rel)
+    data = dict(adj_truth=adj_truth, feats=feats, coords=coords, rel=rel,
+                ckpt_path=ckpt_path)
     return tf_vars, fetches, data
 
 
@@ -280,3 +289,20 @@ def test_total_cost_matches(ref_run):
     np.testing.assert_allclose(float(aux["adj_loss"]), adj_c, rtol=1e-4)
     np.testing.assert_allclose(float(aux["node_loss"]), node_c, rtol=1e-4)
     np.testing.assert_allclose(float(aux["spatial_loss"]), sp_c, rtol=1e-4)
+
+
+def test_checkpoint_import_roundtrip(ref_run):
+    """load_tf_checkpoint reads a real tf.train.Saver file (the reference's
+    persistence format) and produces the same param tree as mapping the live
+    graph's variables — reference checkpoints are loadable for parity runs
+    (SURVEY §5 checkpoint/resume)."""
+    from snd_vae_tpu.compat import load_tf_checkpoint
+
+    tf_vars, fetches, data = ref_run
+    cfg = tiny_cfg()
+    from_vars = map_reference_variables(tf_vars, cfg)
+    from_ckpt = load_tf_checkpoint(data["ckpt_path"], cfg)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        from_vars, from_ckpt,
+    )
