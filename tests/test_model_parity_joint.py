@@ -204,3 +204,137 @@ def test_joint_total_cost_matches(ref_joint_run):
     np.testing.assert_allclose(float(aux["node_loss"]), node_c, rtol=1e-4)
     np.testing.assert_allclose(float(aux["spatial_loss"]), sp_c, rtol=1e-4)
     np.testing.assert_allclose(float(total), fetches["cost"], rtol=1e-4)
+
+
+K_EDGE, K_FEAT = 3, 4
+
+SCENE_FLAGS = dict(JOINT_FLAGS)
+SCENE_FLAGS.update({
+    "dataset": "scene",
+    "num_edge_feature": K_EDGE,
+    "num_feature": K_FEAT,
+    "spatial_dim": 3,
+})
+
+
+def tiny_scene_cfg() -> Config:
+    base = tiny_joint_cfg()
+    return base.with_(
+        dataset="scene",
+        num_features=K_FEAT,
+        spatial_dim=3,
+        decoder=base.decoder.__class__(
+            **{**base.decoder.__dict__, "num_edge_feature": K_EDGE}
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_scene_run(rng=np.random.default_rng(13)):
+    """Reference joint model with the scene branches active: K-way
+    categorical edges (model_joint.py:173-176), softmax node classes
+    (:140-142), linear coordinates (:118-119), node loss 0 and one-hot edge
+    CE (optimizer.py:138-147)."""
+    ref = load_reference(dict(SCENE_FLAGS))
+    tf = ref.tf
+
+    adj = rng.integers(0, K_EDGE, size=(B, N, N)).astype(np.float32)
+    feats = np.eye(K_FEAT, dtype=np.float32)[
+        rng.integers(0, K_FEAT, size=(B, N))
+    ]
+    coords = rng.standard_normal((B, N, 3)).astype(np.float32)
+    rel = np.abs(rng.random((B, N, N, 1))).astype(np.float32)
+
+    with tf.Graph().as_default():
+        ph = {
+            "features": tf.placeholder(tf.float32, [B, N, K_FEAT]),
+            "spatial": tf.placeholder(tf.float32, [B, N, 3]),
+            "adj": tf.placeholder(tf.float32, [B, N, N]),
+            "rel": tf.placeholder(tf.float32, [B, N, N, 1]),
+            "adj_truth": tf.placeholder(tf.float32, [B, N, N]),
+            "feature_truth": tf.placeholder(tf.float32, [B, N, K_FEAT]),
+            "spatial_truth": tf.placeholder(tf.float32, [B, N, 3]),
+            "rel_truth": tf.placeholder(tf.float32, [B, N, N, 1]),
+            "dropout": tf.placeholder_with_default(1.0, shape=()),
+            "global_iter": tf.placeholder_with_default(0.0, shape=()),
+        }
+        model = ref.model_joint.SGCNModelVAE(ph, K_FEAT, N)
+        opt = ref.optimizer.OptimizerVAE(
+            preds_edge=model.generated_adj_prob,
+            preds_node=model.generated_node_feat,
+            preds_spatial=model.generated_spatial,
+            labels_edge=ph["adj_truth"],
+            labels_node=ph["feature_truth"],
+            labels_spatial=ph["spatial_truth"],
+            labels_rel=ph["rel_truth"],
+            global_iter=ph["global_iter"],
+            model=model, num_nodes=N, pos_weight=1.0, norm=1.0, beta=1.0,
+        )
+        feed = {
+            ph["features"]: feats,
+            ph["spatial"]: coords,
+            ph["adj"]: adj,
+            ph["rel"]: rel,
+            ph["adj_truth"]: adj,
+            ph["feature_truth"]: feats,
+            ph["spatial_truth"]: coords,
+            ph["rel_truth"]: rel,
+        }
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            tf_vars = {v.name: sess.run(v) for v in tf.global_variables()}
+            fetches = sess.run(
+                {
+                    "z_mean_sg": model.z_mean_sg,
+                    "z_std_sg": model.z_std_sg,
+                    "z_sg": model.z_sg,
+                    "adj_prob": model.generated_adj_prob,
+                    "node_feat_prob": model.generated_node_feat_prob,
+                    "coords": model.generated_spatial,
+                    "cost": opt.cost,
+                    "kl_sg": opt.kl_sg,
+                    "adj_cost": opt.adj_cost,
+                    "spatial_cost": opt.spatial_cost,
+                },
+                feed,
+            )
+    restore_tensorflow_module()
+    return tf_vars, fetches, dict(adj=adj, feats=feats, coords=coords, rel=rel)
+
+
+def test_scene_joint_parity(ref_scene_run):
+    tf_vars, fetches, data = ref_scene_run
+    cfg = tiny_scene_cfg()
+    model = build_model(cfg)
+    params = map_reference_variables_joint(tf_vars, cfg)
+    batch = GraphBatch(
+        adj=jnp.asarray(data["adj"]),
+        features=jnp.asarray(data["feats"]),
+        coords=jnp.asarray(data["coords"]),
+        rel=jnp.asarray(data["rel"]),
+    )
+    stats = model.apply({"params": params}, batch, method=JointSNDVAE.encode)
+    np.testing.assert_allclose(
+        np.asarray(stats.mean_sg)[:, 0, :], fetches["z_mean_sg"],
+        rtol=1e-4, atol=1e-5,
+    )
+    latents = Latents(z_sg=jnp.asarray(fetches["z_sg"])[:, None, :])
+    decoded = model.apply({"params": params}, latents, method=JointSNDVAE.decode)
+    np.testing.assert_allclose(
+        np.asarray(decoded.adj_prob).reshape(-1, K_EDGE), fetches["adj_prob"],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(decoded.node_feat_prob).reshape(-1, K_FEAT),
+        fetches["node_feat_prob"], rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(decoded.coords), fetches["coords"], rtol=1e-4, atol=1e-5
+    )
+    out = ModelOutput(stats=stats, latents=latents, decoded=decoded)
+    total, aux = elbo_loss(cfg, out, batch.adj, batch.features, batch.coords, 0.0)
+    np.testing.assert_allclose(float(aux["adj_loss"]), fetches["adj_cost"], rtol=1e-4)
+    assert float(aux["node_loss"]) == 0.0  # scene: node loss 0 (optimizer.py:146-147)
+    np.testing.assert_allclose(float(aux["spatial_loss"]), fetches["spatial_cost"], rtol=1e-4)
+    np.testing.assert_allclose(float(aux["sg_kl"]), fetches["kl_sg"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(total), fetches["cost"], rtol=1e-4)
