@@ -279,3 +279,49 @@ def test_total_correlation_matches_reference(ref_optimizer, rng):
         with tf.Session() as sess:
             got = sess.run(y, {zz: z, mm: mu, ss: logstd})
     np.testing.assert_allclose(ours, got, rtol=1e-4)
+
+
+def test_geometric_stack_matches_reference(ref_layers, rng):
+    """Golden parity for the posGCN geometric features that the reference can
+    actually execute: dist (kNN), rbf expansion, positional embedding
+    (layers.py:729-756).  The reference's orientations() is NOT runnable as
+    committed — its gather_nodes calls tf.broadcast_to with -1 dims
+    (layers.py:651), invalid in every TF version, so the posGCN orientation
+    path crashes upstream; our implementation follows the documented intent
+    (kNN-neighbor frames + quaternions) with float64 oracle tests in
+    test_ops.py as the spec."""
+    from snd_vae_tpu.nn import geometric as geo
+
+    B, L, K = 2, 12, 6
+    x = rng.standard_normal((B, L, 3)).astype(np.float32)
+
+    d_ours, idx_ours = geo.knn_dist(jnp.asarray(x), top_k=K)
+    rbf_ours = geo.rbf_expand(d_ours, 16)
+    pe_ours = geo.positional_embedding(idx_ours, 16)
+
+    with tf.Graph().as_default():
+        xx = tf.constant(x)
+        d_t, idx_t = ref_layers.dist(xx, top_k=K)
+        rbf_t = ref_layers.rbf(d_t, 16)
+        pe_t = ref_layers.positionalEmbedding(idx_t, 16)
+        with tf.Session() as sess:
+            d_g, idx_g, rbf_g, pe_g = sess.run([d_t, idx_t, rbf_t, pe_t])
+
+    np.testing.assert_array_equal(np.asarray(idx_ours), idx_g)
+    np.testing.assert_allclose(np.asarray(d_ours), d_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rbf_ours), rbf_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pe_ours), pe_g, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_gather_nodes_is_broken(ref_layers, rng):
+    """Pin the divergence note above: the reference's gather_nodes raises on
+    any input (tf.broadcast_to with -1 dims, layers.py:651), so there is no
+    reference output to match for orientations/quaternions."""
+    x = rng.standard_normal((2, 8, 3)).astype(np.float32)
+    with tf.Graph().as_default():
+        xx = tf.constant(x)
+        _, idx_t = ref_layers.dist(xx, top_k=4)
+        with pytest.raises(Exception):
+            out = ref_layers.gather_nodes(xx, idx_t)
+            with tf.Session() as sess:
+                sess.run(out)
