@@ -38,9 +38,9 @@ DEFAULT_BASELINE_GRAPHS_PER_SEC = float(
 )
 
 NUM_GRAPHS = 200      # dataset size -> 20 batches per epoch at B=10
-EPOCH_CHUNK = 100     # epochs per dispatch (amortizes the per-dispatch and
-                      # per-fetch host round-trips to <1% of chunk time)
-MEASURE_CHUNKS = 2    # 200 measured epochs total
+EPOCH_CHUNK = 250     # epochs per dispatch (amortizes the per-dispatch and
+                      # per-fetch host round-trips to ~1% of chunk time)
+MEASURE_CHUNKS = 2    # 500 measured epochs total
 
 
 def main():
