@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -43,7 +44,7 @@ EPOCH_CHUNK = 250     # epochs per dispatch (amortizes the per-dispatch and
 MEASURE_CHUNKS = 2    # 500 measured epochs total
 
 
-def main():
+def _run():
     from snd_vae_tpu.train import make_multi_epoch_step, rebatch
 
     # bfloat16 compute with f32 master params and f32 ELBO accumulation —
@@ -86,6 +87,23 @@ def main():
             }
         )
     )
+
+
+def main(attempts: int = 3, retry_wait_s: float = 240.0):
+    """The tunneled TPU worker occasionally crashes/restarts (BASELINE.md
+    "mnist caveats"); a crash mid-bench would otherwise record a failure for
+    the whole round.  Retry after letting the worker come back; device
+    buffers are lost on a crash so each attempt rebuilds from scratch."""
+    for attempt in range(attempts):
+        try:
+            return _run()
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == attempts - 1:
+                raise
+            # stderr only: stdout must stay exactly one JSON line
+            print(f"bench attempt {attempt + 1} failed ({e}); "
+                  f"retrying in {retry_wait_s:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(retry_wait_s)
 
 
 if __name__ == "__main__":
