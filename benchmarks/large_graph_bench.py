@@ -115,8 +115,47 @@ def bench_spatial_conv():
         }), flush=True)
 
 
+def bench_full_train():
+    """FULL training step (3-branch model, fwd+ELBO+bwd+Adam) at N far beyond
+    the reference's cap — training, not just the isolated op.  bf16 compute,
+    B=2 graphs x S=2 spanning trees.  Timed as one multi-epoch scan (nb=1)
+    fenced by fetching the per-epoch losses; chunks stay well under the
+    tunneled worker's ~60 s single-dispatch tolerance (BASELINE.md)."""
+    from snd_vae_tpu.config import synthetic2_preset
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import (
+        init_state, make_epoch_step, make_optimizer, rebatch,
+    )
+
+    # reps chained as one EPOCH over reps batches (single-level scan; the
+    # nested multi-epoch program compiles pathologically slowly remotely at
+    # these shapes: >50 min for N=100, vs minutes for the epoch program)
+    for n, reps in ((100, 30), (256, 15), (512, 6)):
+        cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+            num_nodes=n, sampling_num=2,
+        )
+        cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+        data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+        batched = rebatch(data, 2)        # [reps, 2, ...]
+        model, state = init_state(cfg, data)
+        step = make_epoch_step(cfg, model, make_optimizer(cfg))
+
+        state, aux = step(state, batched)
+        jax.device_get(aux["loss"])          # compile + warm
+        t0 = time.perf_counter()
+        state, aux = step(state, batched)
+        jax.device_get(aux["loss"])          # one fetch fences all reps
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "bench": "full_train_step", "n": n, "batch_graphs": 2,
+            "ms_per_step": round(dt * 1e3, 2),
+            "graphs_per_sec": round(2.0 / dt, 1),
+        }), flush=True)
+
+
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
     bench_aggregation()
     bench_spatial_conv()
+    bench_full_train()
