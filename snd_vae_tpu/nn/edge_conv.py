@@ -19,7 +19,7 @@ Inputs are [B, H, W, C] (NHWC) like the reference.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,27 @@ def _conv2d(x, w, padding):
     ).astype(x.dtype)
 
 
+def _acc_dtype(dt):
+    return jnp.float32 if dt in (jnp.bfloat16, jnp.float16) else dt
+
+
+def _toeplitz_weights(w, width: int, dtype):
+    """Expand a 1-D SAME-conv kernel into its Toeplitz contraction tensor.
+
+    ``w`` is ``[k_h, C, O]``; returns ``Mt [width, width, C, O]`` with
+    ``Mt[t, j] = w[t - j + pad_left]`` (zero outside the kernel), where
+    ``pad_left = (k_h-1)//2`` matches SAME padding at stride 1.  A width-k_h
+    window conv over a width-``width`` map is then exactly
+    ``out[b,i,j,o] = Σ_{t,c} x[b,i,t,c]·Mt[t,j,c,o]``.
+    """
+    k_h = w.shape[0]
+    pl = (k_h - 1) // 2
+    idx = pl + jnp.arange(width)[:, None] - jnp.arange(width)[None, :]  # [t, j]
+    valid = (idx >= 0) & (idx < k_h)
+    g = jnp.take(w, jnp.clip(idx, 0, k_h - 1), axis=0)  # [W, W, C, O]
+    return jnp.where(valid[..., None, None], g, jnp.zeros((), w.dtype)).astype(dtype)
+
+
 def _conv2d_transpose(x, w, padding):
     # tf.nn.conv2d_transpose(filter=[h,w,out,in]) == lax.conv_transpose with
     # kernel [h,w,in,out] and transpose_kernel=True semantics.
@@ -47,11 +68,29 @@ def _conv2d_transpose(x, w, padding):
 
 class E2E(nn.Module):
     """Edge-to-edge conv (layers.py:431-450): row conv + column conv with the
-    spatially transposed *same* weights and *same* bias, summed."""
+    spatially transposed *same* weights and *same* bias, summed.
+
+    Two numerically identical lowerings:
+
+      * small maps — ``lax.conv`` directly (the reference's tf.nn.conv2d
+        semantics; fine when the window is small);
+      * large maps (width ≥ ``matmul_threshold``, or ``use_matmul=True``) —
+        ONE dot_general against the Toeplitz expansion of the kernel
+        (``_toeplitz_weights``).  A width-N SAME window over a width-N map is
+        a ~75%-dense banded contraction, which XLA's conv lowering executes
+        at a few TFLOP/s on TPU while the equivalent
+        ``[B·N, N·C] @ [N·C, N·O]`` matmul runs at MXU rates: measured
+        347 ms → ~17 ms for the decoder adjacency head at N=512
+        (BASELINE.md).  Same FLOPs, same result — only the lowering changes.
+    """
 
     features: int
     k_h: int
     stddev: float = 0.02
+    use_matmul: Optional[bool] = None   # None = auto by width
+    # crossover measured on v5e: conv wins at N=64 (2.68 vs 2.84 ms/step),
+    # matmul wins at N=100 (6.68 vs 7.63) and grows to 3.6x by N=512
+    matmul_threshold: int = 96
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -60,6 +99,23 @@ class E2E(nn.Module):
             (1, self.k_h, x.shape[-1], self.features),
         )
         b1 = self.param("biases1", inits.zeros, (self.features,))
+        matmul = (
+            self.use_matmul
+            if self.use_matmul is not None
+            else x.shape[2] >= self.matmul_threshold
+        )
+        if matmul:
+            acc = _acc_dtype(x.dtype)
+            mt = _toeplitz_weights(w1[0], x.shape[2], x.dtype)  # [t,j,C,O]
+            # row conv: contract the width axis of x against t
+            conv1 = jnp.einsum(
+                "bitc,tjco->bijo", x, mt, preferred_element_type=acc
+            ).astype(x.dtype) + b1
+            # column conv (transposed kernel [k_h,1]): same Mt along height
+            conv2 = jnp.einsum(
+                "btjc,tico->bijo", x, mt, preferred_element_type=acc
+            ).astype(x.dtype) + b1
+            return conv1 + conv2
         conv1 = _conv2d(x, w1, "SAME") + b1
         conv2 = _conv2d(x, jnp.transpose(w1, (1, 0, 2, 3)), "SAME") + b1
         return conv1 + conv2

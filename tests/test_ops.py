@@ -109,6 +109,34 @@ def test_e2e_shares_transposed_weights(rng, key):
     np.testing.assert_allclose(ys, np.transpose(ys, (0, 2, 1, 3)), rtol=2e-3, atol=2e-4)
 
 
+def test_e2e_matmul_lowering_matches_conv(rng, key):
+    """The Toeplitz-matmul lowering of E2E must equal the lax.conv lowering
+    exactly (same math, different backend mapping) — values AND gradients,
+    for odd and even widths (SAME pad_left = (k-1)//2 differs by parity)."""
+    for n in (4, 5, 7, 8):
+        x = jnp.asarray(rng.standard_normal((2, n, n, 3)).astype(np.float32))
+        conv_mod = ops.E2E(4, k_h=n, use_matmul=False)
+        mm_mod = ops.E2E(4, k_h=n, use_matmul=True)
+        p = conv_mod.init(key, x)
+        y_conv = np.asarray(conv_mod.apply(p, x))
+        y_mm = np.asarray(mm_mod.apply(p, x))
+        np.testing.assert_allclose(y_mm, y_conv, rtol=1e-5, atol=1e-5)
+
+        def loss(fn):
+            def f(params, inp):
+                return jnp.sum(jnp.square(fn.apply(params, inp)))
+            return f
+
+        g_conv = jax.grad(loss(conv_mod))(p, x)
+        g_mm = jax.grad(loss(mm_mod))(p, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            ),
+            g_conv, g_mm,
+        )
+
+
 def test_e2n_shape(rng, key):
     x = jnp.asarray(rng.standard_normal((2, 5, 5, 3)).astype(np.float32))
     mod = ops.E2N(4, k_h=5)
