@@ -131,6 +131,11 @@ class TrainConfig:
     # every epoch (main.py:315-323), so parity is False (also skips the
     # per-epoch permutation gather).
     reshuffle: bool = False
+    # cap on estimated seconds of device execution per dispatch: the chunked
+    # trainer shrinks epoch_chunk so one dispatch stays under this (single
+    # dispatches over ~60 s reproducibly crash the tunneled TPU worker —
+    # BASELINE.md "mnist caveats").  <=0 disables the guard.
+    max_dispatch_s: float = 45.0
 
 
 @dataclass(frozen=True)

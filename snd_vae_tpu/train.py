@@ -428,11 +428,24 @@ class Trainer:
         last_means: Dict[str, float] = {}
         epoch = self.maybe_restore()
         stopper = _GracefulStop().__enter__()
+        # best (smallest) observed per-epoch wall seconds; compile-inflated
+        # first dispatches only make the guard conservative
+        per_epoch_est: Optional[float] = None
         try:
             while epoch < epochs:
                 # next cadence epoch at or after `epoch`; chunk must end at cad+1
                 cad = epoch + ((every - epoch % every) % every)
-                stop = min(epochs, epoch + epoch_chunk, cad + 1)
+                want = epoch_chunk
+                if per_epoch_est is not None and cfg.train.max_dispatch_s > 0:
+                    # keep one dispatch under the worker's tolerance
+                    # (BASELINE.md: >~60 s dispatches crash the tunneled TPU)
+                    cap = max(1, int(cfg.train.max_dispatch_s / per_epoch_est))
+                    if cap < want and verbose:
+                        print(f"epoch_chunk capped {want}->{cap} "
+                              f"(~{per_epoch_est:.2f}s/epoch, "
+                              f"max_dispatch_s={cfg.train.max_dispatch_s})")
+                    want = min(want, cap)
+                stop = min(epochs, epoch + want, cad + 1)
                 n = stop - epoch
                 t0 = time.time()
                 if n == 1:
@@ -450,6 +463,9 @@ class Trainer:
                     )
                     means = jax.device_get(means)  # one sync, [n, ...] leaves
                 dt = time.time() - t0
+                per_epoch = dt / n
+                if per_epoch_est is None or per_epoch < per_epoch_est:
+                    per_epoch_est = per_epoch
                 for i in range(n):
                     row = {k: [float(np.asarray(v)[i])] for k, v in means.items()}
                     last_means = self.logger.log(epoch + i, row)

@@ -235,6 +235,26 @@ def test_trainer_chunked_run(tmp_path):
     assert trainer.checkpointer.latest_step() == 4  # epochs 0,2,4 saved
 
 
+def test_trainer_dispatch_guard_caps_chunks(tmp_path):
+    """With max_dispatch_s set impossibly low, the chunked trainer falls back
+    to 1-epoch dispatches after the first estimate but still completes and
+    logs every epoch (the guard protects against >60 s dispatches crashing
+    the tunneled worker — BASELINE.md)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "checkpoint_every": 100, "max_dispatch_s": 1e-9}
+    ))
+    batch = loaders.load_dataset(cfg, "train", num_graphs=8)
+    trainer = Trainer(cfg, batch, workdir=str(tmp_path))
+    out = trainer.run(epochs=4, verbose=False, epoch_chunk=4)
+    assert np.isfinite(out["loss"])
+    logged = [
+        json.loads(line)["epoch"]
+        for line in open(trainer.logger.jsonl_path)
+    ]
+    assert logged == [0, 1, 2, 3]
+
+
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
 )
