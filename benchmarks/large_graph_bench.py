@@ -153,9 +153,49 @@ def bench_full_train():
         }), flush=True)
 
 
+def bench_full_train_3d():
+    """FULL 3D-family training step (fourth-order factored conv, protein
+    preset architecture) at N beyond the reference's cap.  The reference's
+    dense form materializes [B,N,N,N,N,h] (layers.py:200-277): at N=128/h=10
+    that is ≈10.7 GB per graph per layer (43 GB for this B·S=4 batch, before
+    the backward) — beyond a 16 GB chip; the factored form is O(B·N³·h)
+    (nn/spatial_conv.py) and runs comfortably."""
+    from snd_vae_tpu.config import protein_preset
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import (
+        init_state, make_epoch_step, make_optimizer, rebatch,
+    )
+
+    for n, reps in ((64, 20), (128, 8)):
+        cfg = protein_preset(compute_dtype="bfloat16").with_(
+            num_nodes=n, sampling_num=2,
+        )
+        cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+        data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+        batched = rebatch(data, 2)        # [reps, 2, ...]
+        model, state = init_state(cfg, data)
+        step = make_epoch_step(cfg, model, make_optimizer(cfg))
+
+        state, aux = step(state, batched)
+        jax.device_get(aux["loss"])          # compile + warm
+        t0 = time.perf_counter()
+        state, aux = step(state, batched)
+        jax.device_get(aux["loss"])
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "bench": "full_train_step_3d", "n": n, "batch_graphs": 2,
+            "ms_per_step": round(dt * 1e3, 2),
+            "graphs_per_sec": round(2.0 / dt, 1),
+            "reference_dense_intermediate_GB_per_graph": round(
+                n**4 * 10 * 4 / 2**30, 2
+            ),
+        }), flush=True)
+
+
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
     bench_aggregation()
     bench_spatial_conv()
     bench_full_train()
+    bench_full_train_3d()
