@@ -54,6 +54,10 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(compute_dtype="bfloat16")
     if getattr(args, "use_pallas", False):
         cfg = cfg.with_(use_pallas=True)
+    if getattr(args, "coord_activation", "auto") != "auto":
+        cfg = cfg.with_(decoder=cfg.decoder.__class__(
+            **{**cfg.decoder.__dict__, "coord_activation": args.coord_activation}
+        ))
     return cfg
 
 
@@ -219,6 +223,10 @@ def main(argv=None):
                    help="bfloat16 compute (f32 master params and ELBO)")
     p.add_argument("--use-pallas", action="store_true", dest="use_pallas",
                    help="fused Pallas motif kernel in the sg-branch")
+    p.add_argument("--coord-activation", default="auto", dest="coord_activation",
+                   choices=["auto", "linear", "sigmoid"],
+                   help="coordinate-head activation; 'linear' is the "
+                        "corrected-mode fix for mnist's +10-shifted coords")
     p.add_argument("--per-step", action="store_true", dest="per_step",
                    help="per-batch dispatch instead of the epoch scan")
     p.add_argument("--profile", action="store_true",

@@ -92,6 +92,15 @@ class DecoderConfig:
     e_d_hidden: Tuple[int, ...] = (50, 20)
     # scene dataset: categorical edges with this many classes
     num_edge_feature: int = 2
+    # coordinate-head output activation.  "auto" reproduces the reference:
+    # sigmoid everywhere in the disentangled model (model.py:219) and in the
+    # joint model except synthetic3/scene, which are linear
+    # (model_joint.py:118-123).  "linear"/"sigmoid" force one — e.g. mnist's
+    # +10-shifted coordinates (input_data.py:300) are unreachable through a
+    # sigmoid, leaving an ~84 irreducible spatial MSE in parity mode
+    # (BASELINE.md "mnist caveats"); coord_activation="linear" is the
+    # corrected-mode fix.
+    coord_activation: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -37,7 +37,9 @@ from flax import linen as nn
 from ..config import Config
 from ..data.graphbatch import GraphBatch
 from .. import nn as ops
-from .outputs import DecodedGraph, Latents, LatentStats, ModelOutput
+from .outputs import (
+    DecodedGraph, Latents, LatentStats, ModelOutput, apply_coord_activation,
+)
 
 
 class DisentangledSNDVAE(nn.Module):
@@ -270,7 +272,9 @@ class DisentangledSNDVAE(nn.Module):
         sp = jnp.concatenate([zsg, zs], axis=-1)
         for conv, bn in zip(self.s_deconvs, self.d_bn_s):
             sp = bn(conv(sp))
-        coords = jax.nn.sigmoid(self.d_s_lin2(sp.reshape(B * N, -1))).reshape(B, N, -1)
+        coords = apply_coord_activation(
+            cfg, self.d_s_lin2(sp.reshape(B * N, -1)), reference_linear=False
+        ).reshape(B, N, -1)
 
         return DecodedGraph(adj=adj, adj_prob=adj_prob, coords=coords, node_feat=node_feat)
 

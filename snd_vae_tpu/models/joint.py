@@ -26,7 +26,9 @@ from flax import linen as nn
 from ..config import Config
 from ..data.graphbatch import GraphBatch
 from .. import nn as ops
-from .outputs import DecodedGraph, Latents, LatentStats, ModelOutput
+from .outputs import (
+    DecodedGraph, Latents, LatentStats, ModelOutput, apply_coord_activation,
+)
 
 
 class JointSNDVAE(nn.Module):
@@ -129,10 +131,10 @@ class JointSNDVAE(nn.Module):
         for conv, bn in zip(self.s_deconvs, self.d_bn_s):
             sp = ops.lrelu(bn(conv(sp)))
         sp_flat = sp.reshape(B * N, -1)
-        if cfg.dataset in ("synthetic3", "scene"):
-            coords = self.d_s_lin2(sp_flat).reshape(B, N, -1)
-        else:
-            coords = jax.nn.sigmoid(self.d_s_lin2(sp_flat)).reshape(B, N, -1)
+        coords = apply_coord_activation(
+            cfg, self.d_s_lin2(sp_flat),
+            reference_linear=cfg.dataset in ("synthetic3", "scene"),
+        ).reshape(B, N, -1)
 
         # node-feature head (model_joint.py:129-145)
         x = joint_h

@@ -47,3 +47,18 @@ class ModelOutput:
     stats: Optional[LatentStats]
     latents: Latents
     decoded: DecodedGraph
+
+
+def apply_coord_activation(cfg, raw: jax.Array, reference_linear: bool) -> jax.Array:
+    """Coordinate-head output activation (DecoderConfig.coord_activation).
+
+    ``reference_linear`` is what the reference would do at this call site:
+    the disentangled decoder is always sigmoid (model.py:219); the joint
+    decoder is linear for synthetic3/scene, sigmoid otherwise
+    (model_joint.py:118-123).  "auto" keeps that; "linear"/"sigmoid" force
+    one (e.g. linear is the corrected-mode fix for mnist's +10-shifted
+    coordinates — BASELINE.md "mnist caveats").
+    """
+    mode = cfg.decoder.coord_activation
+    linear = reference_linear if mode == "auto" else (mode == "linear")
+    return raw if linear else jax.nn.sigmoid(raw)

@@ -75,6 +75,29 @@ def test_deterministic_z_is_reproducible(tiny_batch, key):
     )
 
 
+def test_coord_activation_option(tiny_batch, key):
+    """coord_activation='linear' removes the sigmoid bound on the coordinate
+    head ('auto' keeps the reference's sigmoid in the disentangled model);
+    same params, same everything else."""
+    cfg_auto = tiny_cfg()
+    cfg_lin = cfg_auto.with_(decoder=cfg_auto.decoder.__class__(
+        **{**cfg_auto.decoder.__dict__, "coord_activation": "linear"}
+    ))
+    m_auto = build_model(cfg_auto)
+    m_lin = build_model(cfg_lin)
+    p = m_auto.init(key, tiny_batch, key=key)
+    out_auto = m_auto.apply(p, tiny_batch, key=key)
+    out_lin = m_lin.apply(p, tiny_batch, key=key)
+    ca = np.asarray(out_auto.decoded.coords, dtype=np.float64)
+    cl = np.asarray(out_lin.decoded.coords, dtype=np.float64)
+    assert (ca > 0).all() and (ca < 1).all()          # sigmoid-bounded
+    np.testing.assert_allclose(1 / (1 + np.exp(-cl)), ca, rtol=1e-5, atol=1e-6)
+    # other heads unchanged
+    np.testing.assert_allclose(
+        np.asarray(out_lin.decoded.adj_prob), np.asarray(out_auto.decoded.adj_prob)
+    )
+
+
 def test_prior_sampling(tiny_batch, key):
     cfg = tiny_cfg()
     model = DisentangledSNDVAE(cfg)
