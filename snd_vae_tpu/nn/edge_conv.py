@@ -91,6 +91,10 @@ class E2E(nn.Module):
     # crossover measured on v5e: conv wins at N=64 (2.68 vs 2.84 ms/step),
     # matmul wins at N=100 (6.68 vs 7.63) and grows to 3.6x by N=512
     matmul_threshold: int = 96
+    # auto mode falls back to conv when the Toeplitz tensor would exceed
+    # this (it is O(W²·C·O) — ~1 GB at N=512/C=40/O=50 bf16 but 4.2 GB at
+    # N=1024, which would crowd out the activations on a 16 GB chip)
+    matmul_max_bytes: int = 2 << 30
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -99,11 +103,16 @@ class E2E(nn.Module):
             (1, self.k_h, x.shape[-1], self.features),
         )
         b1 = self.param("biases1", inits.zeros, (self.features,))
-        matmul = (
-            self.use_matmul
-            if self.use_matmul is not None
-            else x.shape[2] >= self.matmul_threshold
-        )
+        if self.use_matmul is not None:
+            matmul = self.use_matmul
+        else:
+            mt_bytes = (
+                x.shape[2] ** 2 * x.shape[-1] * self.features * x.dtype.itemsize
+            )
+            matmul = (
+                x.shape[2] >= self.matmul_threshold
+                and mt_bytes <= self.matmul_max_bytes
+            )
         if matmul:
             acc = _acc_dtype(x.dtype)
             mt = _toeplitz_weights(w1[0], x.shape[2], x.dtype)  # [t,j,C,O]

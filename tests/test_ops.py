@@ -137,6 +137,29 @@ def test_e2e_matmul_lowering_matches_conv(rng, key):
         )
 
 
+def test_e2e_auto_selection(rng, key):
+    """Auto mode picks the matmul lowering by width but falls back to conv
+    when the Toeplitz tensor would blow the byte budget."""
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+
+    def lowering_of(mod):
+        p = mod.init(key, x)
+        jaxpr = str(jax.make_jaxpr(lambda v: mod.apply(p, v))(x))
+        return ("dot_general" in jaxpr, "conv_general_dilated" in jaxpr)
+
+    # width 6 >= threshold 4, tiny Mt -> matmul
+    has_dot, has_conv = lowering_of(ops.E2E(3, k_h=6, matmul_threshold=4))
+    assert has_dot and not has_conv
+    # same, but Mt budget of 1 byte -> conv fallback
+    has_dot, has_conv = lowering_of(
+        ops.E2E(3, k_h=6, matmul_threshold=4, matmul_max_bytes=1)
+    )
+    assert has_conv
+    # below threshold -> conv
+    has_dot, has_conv = lowering_of(ops.E2E(3, k_h=6, matmul_threshold=100))
+    assert has_conv
+
+
 def test_e2n_shape(rng, key):
     x = jnp.asarray(rng.standard_normal((2, 5, 5, 3)).astype(np.float32))
     mod = ops.E2N(4, k_h=5)
