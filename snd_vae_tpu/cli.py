@@ -216,6 +216,9 @@ def main(argv=None):
                  "test_disentangle", "sample", "sweep"],
     )
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--num-generate", type=int, default=None, dest="num_generate",
+                   help="graphs to generate with --type sample "
+                        "(default: batch_size)")
     p.add_argument("--beta", type=float, default=None)
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--workdir", default=".")
@@ -256,11 +259,20 @@ def main(argv=None):
         out = run_test_disentangle(cfg, args.workdir)
     elif args.type == "sample":
         _, model, state = _restore_for_eval(cfg, args.workdir)
+        num = args.num_generate or cfg.train.batch_size
         decoded = model.apply(
-            {"params": state.params}, jax.random.PRNGKey(0), cfg.train.batch_size,
+            {"params": state.params}, jax.random.PRNGKey(cfg.train.seed), num,
             method=type(model).generate,
         )
-        out = {"adj_shape": list(np.asarray(decoded.adj).shape)}
+        gen_dir = os.path.join(args.workdir, "generated",
+                               f"{cfg.dataset}_{cfg.model_type}")
+        os.makedirs(gen_dir, exist_ok=True)
+        for name, arr in (("adj", decoded.adj), ("coords", decoded.coords),
+                          ("node_feat", decoded.node_feat)):
+            np.save(os.path.join(gen_dir, f"{name}.npy"),
+                    np.asarray(arr, dtype=np.float32))
+        out = {"num_generated": int(num), "dir": gen_dir,
+               "adj_shape": list(np.asarray(decoded.adj).shape)}
     else:
         out = run_sweep(cfg, args.workdir, epochs=args.epochs)
     print(json.dumps(out, default=float) if not isinstance(out, str) else out)
