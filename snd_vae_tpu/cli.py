@@ -40,10 +40,13 @@ def _build_cfg(args) -> Config:
     over = {}
     if args.model_type:
         over["model_type"] = args.model_type
+    train_over = {}
     if args.epochs is not None:
-        over["train"] = cfg.train.__class__(
-            **{**cfg.train.__dict__, "epochs": args.epochs}
-        )
+        train_over["epochs"] = args.epochs
+    if getattr(args, "resample_trees_every", 0):
+        train_over["resample_trees_every"] = args.resample_trees_every
+    if train_over:
+        over["train"] = cfg.train.__class__(**{**cfg.train.__dict__, **train_over})
     if args.dataset_path:
         over["dataset_path"] = args.dataset_path
     if over:
@@ -226,6 +229,11 @@ def main(argv=None):
                    help="bfloat16 compute (f32 master params and ELBO)")
     p.add_argument("--use-pallas", action="store_true", dest="use_pallas",
                    help="fused Pallas motif kernel in the sg-branch")
+    p.add_argument("--resample-trees-every", type=int, default=0,
+                   dest="resample_trees_every",
+                   help="re-draw spanning-tree samples every k epochs "
+                        "(corrected-mode augmentation; 0 = reference "
+                        "behavior, trees frozen at load)")
     p.add_argument("--coord-activation", default="auto", dest="coord_activation",
                    choices=["auto", "linear", "sigmoid"],
                    help="coordinate-head activation; 'linear' is the "

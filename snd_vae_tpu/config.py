@@ -140,6 +140,11 @@ class TrainConfig:
     # every epoch (main.py:315-323), so parity is False (also skips the
     # per-epoch permutation gather).
     reshuffle: bool = False
+    # corrected-mode augmentation: re-draw the spanning-tree samples from
+    # the original adjacencies every k epochs (host-side, keyed by
+    # seed+epoch; 0 = off).  The reference freezes its 10 trees per graph at
+    # load time (input_data.py:70-83), so parity is 0.
+    resample_trees_every: int = 0
     # cap on estimated seconds of device execution per dispatch: the chunked
     # trainer shrinks epoch_chunk so one dispatch stays under this (single
     # dispatches over ~60 s reproducibly crash the tunneled TPU worker —

@@ -330,6 +330,31 @@ class Trainer:
                          f"{cfg.dataset}_{cfg.model_type}")
         )
 
+    def _maybe_resample_trees(self, epoch: int) -> None:
+        """Corrected-mode augmentation (cfg.train.resample_trees_every): at
+        every k-th epoch, re-draw the spanning-tree samples from the ORIGINAL
+        adjacencies on the host (keyed by seed+epoch) and push them to the
+        device.  The reference freezes its trees at load time
+        (input_data.py:70-83); identity when k<=0 (parity)."""
+        k = self.cfg.train.resample_trees_every
+        if k <= 0 or epoch == 0 or epoch % k != 0:
+            return
+        if self.data.adj_samples is None:
+            return
+        from .data.spanning_tree import sample_spanning_trees
+
+        new = sample_spanning_trees(
+            np.asarray(self.data.adj),
+            self.data.adj_samples.shape[1],
+            seed=self.cfg.train.seed + epoch,
+        )
+        self.data = self.data.replace(
+            adj_samples=jnp.asarray(new, self.data.adj_samples.dtype)
+        )
+        if self.mesh is not None:
+            self.data = pmesh.shard_graphbatch(self.data, self.mesh)
+        self.batched = rebatch(self.data, self.cfg.train.batch_size)
+
     def maybe_restore(self) -> int:
         """Resume from the latest checkpoint if one exists; returns the
         starting epoch.  A checkpoint saved at epoch e holds the state AFTER
@@ -372,6 +397,7 @@ class Trainer:
         stopper = _GracefulStop().__enter__()
         try:
             for epoch in range(start, epochs):
+                self._maybe_resample_trees(epoch)
                 if profile_dir is not None and epoch == prof_epoch:
                     jax.profiler.start_trace(profile_dir)
                 epoch_time = time.time()
@@ -446,6 +472,11 @@ class Trainer:
                               f"max_dispatch_s={cfg.train.max_dispatch_s})")
                     want = min(want, cap)
                 stop = min(epochs, epoch + want, cad + 1)
+                rk = cfg.train.resample_trees_every
+                if rk > 0:
+                    # chunks must not cross a resampling boundary
+                    stop = min(stop, (epoch // rk + 1) * rk)
+                    self._maybe_resample_trees(epoch)
                 n = stop - epoch
                 t0 = time.time()
                 if n == 1:

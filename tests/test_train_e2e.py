@@ -235,6 +235,34 @@ def test_trainer_chunked_run(tmp_path):
     assert trainer.checkpointer.latest_step() == 4  # epochs 0,2,4 saved
 
 
+def test_resample_trees_option(tmp_path):
+    """resample_trees_every=k re-draws the spanning-tree augmentation from
+    the ORIGINAL adjacencies every k epochs (corrected mode; the reference
+    freezes trees at load, input_data.py:70-83).  New samples stay valid
+    subgraphs of the truth adjacency and training stays finite."""
+    # denser graphs than the default tiny 6-node Waxman (whose spanning
+    # trees can be unique, making a correct resample look like a no-op)
+    cfg = tiny_cfg(tmp_path, num_nodes=12)
+    cfg = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "resample_trees_every": 1}
+    ))
+    batch = loaders.load_dataset(cfg, "train", num_graphs=8)
+    trainer = Trainer(cfg, batch, workdir=str(tmp_path))
+    before = np.asarray(trainer.batched.adj_samples).copy()
+    out = trainer.run(epochs=3, verbose=False, epoch_chunk=3)
+    assert np.isfinite(out["loss"])
+    after = np.asarray(trainer.batched.adj_samples)
+    assert not np.array_equal(before, after)  # actually resampled
+    # every sampled edge exists in the original adjacency
+    adj = np.asarray(trainer.batched.adj)  # [nb, B, N, N]
+    assert (after <= adj[:, :, None] + 1e-6).all()
+    # logged every epoch despite chunking being cut at resample boundaries
+    logged = [
+        json.loads(line)["epoch"] for line in open(trainer.logger.jsonl_path)
+    ]
+    assert logged == [0, 1, 2]
+
+
 def test_trainer_dispatch_guard_caps_chunks(tmp_path):
     """With max_dispatch_s set impossibly low, the chunked trainer falls back
     to 1-epoch dispatches after the first estimate but still completes and
