@@ -25,7 +25,15 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> str:
     if cache_dir in ("0", "", "off"):
         return ""
     os.makedirs(cache_dir, exist_ok=True)
+    redirecting = jax.config.jax_compilation_cache_dir not in (None, cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if redirecting:
+        # the cache object is created lazily and pinned to the directory it
+        # first initialized with; updating the config alone leaves writes
+        # going to the old directory
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
     return cache_dir
