@@ -39,6 +39,7 @@ from .spatial_conv import (
     spatial_graph_conv_3d_dense_oracle,
     spatial_graph_conv_dense_oracle,
 )
+from ..parallel.hints import constrain, shard_nodes
 
 __all__ = [
     "lrelu", "Dense", "Conv1D", "FrozenBatchNorm", "BatchStatNorm", "make_norm",
@@ -49,5 +50,5 @@ __all__ = [
     "DeN2G", "DeN2N", "DeE2N", "DeE2E", "N2GPool", "G2NBroadcast",
     "inner_product_decoder", "Graphite", "GeoGraphConv", "StructGraphConv",
     "knn_dist", "rbf_expand", "positional_embedding", "gather_nodes",
-    "orientations", "quaternions",
+    "orientations", "quaternions", "constrain", "shard_nodes",
 ]

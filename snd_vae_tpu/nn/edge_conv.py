@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import init as inits
+from ..parallel.hints import shard_nodes
 
 
 def _conv2d(x, w, padding):
@@ -114,7 +115,22 @@ class E2E(nn.Module):
                 and mt_bytes <= self.matmul_max_bytes
             )
         if matmul:
+            # the Toeplitz expansion is built from the width and reused to
+            # contract the height axis for the column conv (and the byte
+            # budget above is width-based), so the lowering requires square
+            # maps — true for every adjacency head; anything else must take
+            # the conv path
+            assert x.shape[1] == x.shape[2], (
+                f"E2E matmul lowering requires square maps, got "
+                f"H={x.shape[1]} W={x.shape[2]}; pass use_matmul=False"
+            )
             acc = _acc_dtype(x.dtype)
+            # node-sharding hint: row-block the [B,N,N,C] map on its first
+            # node axis over the mesh's 'model' axis (identity without an
+            # ambient mesh).  The row conv is then comm-free; the column conv
+            # contracts the sharded axis, which XLA lowers to a local matmul
+            # + reduce-scatter over ICI.
+            x = shard_nodes(x, tag="e2e.in")
             mt = _toeplitz_weights(w1[0], x.shape[2], x.dtype)  # [t,j,C,O]
             # row conv: contract the width axis of x against t
             conv1 = jnp.einsum(
@@ -124,7 +140,7 @@ class E2E(nn.Module):
             conv2 = jnp.einsum(
                 "btjc,tico->bijo", x, mt, preferred_element_type=acc
             ).astype(x.dtype) + b1
-            return conv1 + conv2
+            return shard_nodes(conv1 + conv2, tag="e2e.out")
         conv1 = _conv2d(x, w1, "SAME") + b1
         conv2 = _conv2d(x, jnp.transpose(w1, (1, 0, 2, 3)), "SAME") + b1
         return conv1 + conv2

@@ -43,6 +43,7 @@ from flax import linen as nn
 
 from . import init as inits
 from .basic import lrelu
+from ..parallel.hints import shard_nodes
 
 
 def _f32(x):
@@ -112,9 +113,12 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
     a_i = dot(phi_x, m1[0:F])               # φ(x_i)@M1a      [B,N,h0]
     b_j = dot(phi_x, m1[F : 2 * F])         # φ(x_j)@M1b      [B,N,h0]
     c_k = dot(phi_x, m1[2 * F : 3 * F])     # φ(x_k)@M1c      [B,N,h0]
-    d_ij = dot(phi_r, m1[3 * F : 3 * F + R])            # [B,N,N,h0]
-    e_jk = dot(phi_r, m1[3 * F + R : 3 * F + 2 * R])    # [B,N,N,h0]
-    f_ik = dot(phi_r, m1[3 * F + 2 * R :])              # [B,N,N,h0]
+    # the [B,N,N,h] tensors carry node-sharding hints (first node axis over
+    # the mesh's 'model' axis; identity without an ambient mesh) so the i-
+    # row-blocked N³ contraction below stays partitioned under GSPMD
+    d_ij = shard_nodes(dot(phi_r, m1[3 * F : 3 * F + R]), tag="sgc.d_ij")
+    e_jk = shard_nodes(dot(phi_r, m1[3 * F + R : 3 * F + 2 * R]), tag="sgc.e_jk")
+    f_ik = shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik")
 
     deg = jnp.sum(adj, axis=-1)                          # [B,N]
     neigh_c = jnp.einsum("bjk,bkh->bjh", adj, c_k,
@@ -129,7 +133,8 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
         v_combined = deg[..., None] * b_j + neigh_c + ve
         m3_sum = motif_combine(adj, a_i, d_ij, v_combined, f_ik, b1)
     else:
-        # the N³ term as a dense matmul: Σ_k A[j,k]·f[i,k]
+        # the N³ term as a dense matmul: Σ_k A[j,k]·f[i,k] — comm-free under
+        # node sharding (adj replicated, f_ik/output row-blocked on i)
         wf = jnp.einsum("bjk,bikh->bijh", adj, f_ik,
                         preferred_element_type=_acc_dtype(dt)).astype(dt)
         m3_sum = (
@@ -138,6 +143,7 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
             + wf
         )
         m3_sum = adj[..., None] * m3_sum                 # A[i,j] mask  [B,N,N,h0]
+        m3_sum = shard_nodes(m3_sum, tag="sgc.m3_sum")
 
     # --- level 2: masked pair sum ---------------------------------------
     p_i = dot(phi_x, m2[0:F])                            # [B,N,h1]
@@ -151,6 +157,7 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
         + jnp.einsum("bij,bijh->bih", adj, pair,
                      preferred_element_type=_acc_dtype(dt)).astype(dt)
     )
+    m2_sum = shard_nodes(m2_sum, tag="sgc.m2_sum")
 
     # --- level 1: per-node update ---------------------------------------
     out = (
@@ -300,6 +307,9 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     )                                                                   # [B,N,N,N,h0]
     mask3 = mask[:, :, :, None] * mask[:, None, :, :]                   # [i,j]·[j,k]
     m4_sum = m4_sum * mask3[..., None]
+    # the O(N³·h) tensor dominates 3D-family memory; row-block it on i over
+    # the mesh's 'model' axis (identity without an ambient mesh)
+    m4_sum = shard_nodes(m4_sum, tag="sgc3d.m4_sum")
 
     # --- level 3: Σ_k mask3[i,j,k]·(φ(concat(x_i,x_j,x_k,r_ij,r_jk,d_ik,
     #              m4_sum))@M1 + b1).  φ(m4_sum) blocks factoring over k for
@@ -335,6 +345,7 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
         + t_sum
     )
     m3_sum = mask[..., None] * m3_sum                                    # [B,N,N,h1]
+    m3_sum = shard_nodes(m3_sum, tag="sgc3d.m3_sum")
 
     # --- level 2 ---------------------------------------------------------
     o = 0

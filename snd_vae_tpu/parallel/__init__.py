@@ -1,3 +1,5 @@
+from .distributed import initialize_distributed, is_primary
+from .hints import constrain, shard_nodes
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -16,4 +18,8 @@ __all__ = [
     "shard_graphbatch",
     "shard_params",
     "param_shardings",
+    "initialize_distributed",
+    "is_primary",
+    "constrain",
+    "shard_nodes",
 ]

@@ -124,3 +124,24 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_distributed_module_surface():
+    """Multi-host plumbing (SURVEY §7 item 7): the initialize wrapper is
+    importable, idempotent-guarded, and env-driven; single-process identity
+    checks hold without touching a coordinator."""
+    import inspect
+
+    from snd_vae_tpu.parallel import distributed
+
+    sig = inspect.signature(distributed.initialize_distributed)
+    assert set(sig.parameters) == {
+        "coordinator_address", "num_processes", "process_id"
+    }
+    # single-process semantics (no cluster): primary, one process
+    assert distributed.is_primary()
+    assert jax.process_count() == 1
+    # the idempotence guard reads jax's distributed global state
+    from jax._src import distributed as _dist
+
+    assert _dist.global_state.client is None  # nothing initialized in-suite
