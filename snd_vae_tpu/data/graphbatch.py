@@ -35,6 +35,13 @@ class GraphBatch:
           (2D_prop.npy, input_data.py:60) for disentanglement evaluation.
       node_mask: [B, N] float or None — 1 for real nodes, 0 for padding.
           None means all nodes are real (fixed-N datasets).
+      feat_samples: [B, S, N, F] float or None — per-sample node features for
+          the sg-branch.  None (the default) pairs every spanning-tree sample
+          with its own graph's features; the loaders fill this under
+          ``Config.reproduce_pairing_skew`` with the reference's np.tile
+          pairing (main.py:307-309 vs :132, SURVEY §7 quirk 1).
+      rel_samples: [B, S, N, N, R] float or None — per-sample relation
+          features, same contract as ``feat_samples``.
     """
 
     adj: jax.Array
@@ -44,6 +51,8 @@ class GraphBatch:
     adj_samples: Optional[jax.Array] = None
     factors: Optional[jax.Array] = None
     node_mask: Optional[jax.Array] = None
+    feat_samples: Optional[jax.Array] = None
+    rel_samples: Optional[jax.Array] = None
 
     @property
     def batch_size(self) -> int:
@@ -74,6 +83,8 @@ class GraphBatch:
             adj_samples=take(self.adj_samples),
             factors=take(self.factors),
             node_mask=take(self.node_mask),
+            feat_samples=take(self.feat_samples),
+            rel_samples=take(self.rel_samples),
         )
 
     def astype(self, dtype) -> "GraphBatch":
@@ -86,6 +97,8 @@ class GraphBatch:
             adj_samples=cast(self.adj_samples),
             factors=self.factors,
             node_mask=cast(self.node_mask),
+            feat_samples=cast(self.feat_samples),
+            rel_samples=cast(self.rel_samples),
         )
 
 
@@ -97,6 +110,8 @@ def from_numpy(
     adj_samples: Optional[np.ndarray] = None,
     factors: Optional[np.ndarray] = None,
     node_mask: Optional[np.ndarray] = None,
+    feat_samples: Optional[np.ndarray] = None,
+    rel_samples: Optional[np.ndarray] = None,
     dtype=jnp.float32,
 ) -> GraphBatch:
     """Build a device GraphBatch from host arrays, normalizing shapes.
@@ -109,6 +124,10 @@ def from_numpy(
         rel = rel[..., None]
     if features.ndim == 2:
         features = features[..., None]
+    if rel_samples is not None and rel_samples.ndim == 4:
+        rel_samples = rel_samples[..., None]
+    if feat_samples is not None and feat_samples.ndim == 3:
+        feat_samples = feat_samples[..., None]
     as_f = lambda x: None if x is None else jnp.asarray(x, dtype)
     return GraphBatch(
         adj=as_f(adj),
@@ -118,4 +137,6 @@ def from_numpy(
         adj_samples=as_f(adj_samples),
         factors=None if factors is None else jnp.asarray(factors),
         node_mask=as_f(node_mask),
+        feat_samples=as_f(feat_samples),
+        rel_samples=as_f(rel_samples),
     )

@@ -279,14 +279,48 @@ def load_data_scene(
 # Unified config-driven entry point
 # ---------------------------------------------------------------------------
 
+def tile_skew_pairing(
+    node: np.ndarray, rel: np.ndarray, num_samples: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's sample/graph pairing skew as per-sample arrays.
+
+    The reference flattens spanning trees tree-major — stream index m holds
+    tree ``(g=m//S, s=m%S)`` (main.py:132) — but np.tile's its
+    features/spatial/rel graph-major (main.py:307-309), so stream index m is
+    fed the features of graph ``m % G``.  Returns ``(feat_samples [G,S,N,F],
+    rel_samples [G,S,N,N,R])`` realizing exactly that pairing, so slicing
+    batches of any size from the [B,S] layout reproduces the reference's
+    feed_dict stream (SURVEY §7 quirk 1).
+    """
+    G = node.shape[0]
+    m = np.arange(G * num_samples)
+    skew = (m % G).reshape(G, num_samples)    # graph index fed at stream m
+    return node[skew], rel[skew]
+
+
 def load_dataset(cfg: Config, split: str = "train", num_graphs: Optional[int] = None) -> GraphBatch:
     """Load (or synthesize) the configured dataset as a GraphBatch.
 
     Mirrors the per-dataset dispatch at main.py:128-241 but returns one
-    pytree; spanning-tree samples are paired with their own graph.
+    pytree; spanning-tree samples are paired with their own graph unless
+    ``cfg.reproduce_pairing_skew`` requests the reference's tile-skew.
     """
     n_fallback = num_graphs or 200
     seed = cfg.train.seed
+
+    def _with_samples(adj_truth, node, spatial, rel, adj_s, factor=None):
+        feat_s = rel_s = None
+        if cfg.reproduce_pairing_skew and adj_s is not None:
+            feat_s, rel_s = tile_skew_pairing(
+                node if node.ndim == 3 else node[..., None],
+                rel if rel.ndim == 4 else rel[..., None],
+                adj_s.shape[1],
+            )
+        return from_numpy(
+            adj_truth, node, spatial, rel, adj_samples=adj_s, factors=factor,
+            feat_samples=feat_s, rel_samples=rel_s,
+        )
+
     if cfg.dataset in ("synthetic1", "synthetic2", "synthetic3"):
         sub = {"synthetic1": "spatial_network_correlated1/25",
                "synthetic2": "spatial_network_correlated2/25",
@@ -296,21 +330,21 @@ def load_dataset(cfg: Config, split: str = "train", num_graphs: Optional[int] = 
             seed=seed, num_graphs_fallback=n_fallback,
             num_nodes_fallback=cfg.num_nodes,
         )
-        return from_numpy(adj_truth, node, spatial, rel, adj_samples=adj_s, factors=factor)
+        return _with_samples(adj_truth, node, spatial, rel, adj_s, factor)
     if cfg.dataset == "protein":
         node, spatial, adj_s, rel, factor, adj_truth = load_data_protein(
             split, os.path.join(cfg.dataset_path, "protein"), cfg.sampling_num,
             seed=seed, num_graphs_fallback=n_fallback,
             num_nodes_fallback=cfg.num_nodes,
         )
-        return from_numpy(adj_truth, node, spatial, rel, adj_samples=adj_s, factors=factor)
+        return _with_samples(adj_truth, node, spatial, rel, adj_s, factor)
     if cfg.dataset == "mnist":
         node, spatial, adj, rel = load_data_mnist(
             split, os.path.join(cfg.dataset_path, "3D_mesh"), seed=seed,
             num_points=cfg.num_nodes, num_graphs_fallback=n_fallback,
         )
         adj_s = sample_spanning_trees(adj, cfg.sampling_num, seed=seed)
-        return from_numpy(adj, node, spatial, rel, adj_samples=adj_s)
+        return _with_samples(adj, node, spatial, rel, adj_s)
     if cfg.dataset == "scene":
         node, spatial, adj, rel = load_data_scene(
             split, cfg.dataset_path, seed=seed, num_graphs_fallback=n_fallback

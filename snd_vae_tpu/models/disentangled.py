@@ -82,7 +82,7 @@ class DisentangledSNDVAE(nn.Module):
                 sg_convs.append(ops.SpatialGraphConv3D(tuple(hidden)))
             else:
                 sg_convs.append(
-                    ops.SpatialGraphConv(tuple(hidden), use_pallas=cfg.use_pallas)
+                    ops.SpatialGraphConv(tuple(hidden), use_pallas=cfg.pallas_engaged)
                 )
         self.sg_convs = sg_convs
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
@@ -126,7 +126,12 @@ class DisentangledSNDVAE(nn.Module):
         key: Optional[jax.Array] = None,
         sample_prior: bool = False,
         deterministic_z: bool = False,
+        dropout_keep: float = 1.0,
     ) -> ModelOutput:
+        # dropout_keep is accepted for train-step uniformity with the joint
+        # model but intentionally unused: every dropout site in the reference
+        # disentangled model is commented out (model.py:108,192,217)
+        del dropout_keep
         stats = self.encode(batch)
         if sample_prior:
             latents = self.prior_latents(batch.batch_size, batch.num_samples, key)
@@ -178,12 +183,21 @@ class DisentangledSNDVAE(nn.Module):
             assert batch.adj_samples is not None, "sg-branch needs spanning-tree samples"
             S = batch.num_samples
             adj_s = batch.adj_samples.reshape(B * S, N, N)
-            rel_s = jnp.broadcast_to(
-                batch.rel[:, None], (B, S) + batch.rel.shape[1:]
-            ).reshape(B * S, N, N, -1)
-            sg = jnp.broadcast_to(
-                feats[:, None], (B, S) + feats.shape[1:]
-            ).reshape(B * S, N, -1)
+            # per-sample features/rel when the loader provides them (the
+            # reference's tile-skew pairing under reproduce_pairing_skew);
+            # otherwise each tree pairs with its own graph's tensors
+            if batch.rel_samples is not None:
+                rel_s = batch.rel_samples.reshape(B * S, N, N, -1)
+            else:
+                rel_s = jnp.broadcast_to(
+                    batch.rel[:, None], (B, S) + batch.rel.shape[1:]
+                ).reshape(B * S, N, N, -1)
+            if batch.feat_samples is not None:
+                sg = batch.feat_samples.reshape(B * S, N, -1)
+            else:
+                sg = jnp.broadcast_to(
+                    feats[:, None], (B, S) + feats.shape[1:]
+                ).reshape(B * S, N, -1)
             for conv, bn in zip(self.sg_convs, self.sg_bns):
                 sg = ops.lrelu(bn(conv(adj_s, sg, rel_s)))
             sg = self.encoder_sg_bn(sg)  # BN before flatten (model.py:148)
@@ -251,10 +265,11 @@ class DisentangledSNDVAE(nn.Module):
         x = self.decoder_node_bn(x.reshape(B * N, -1))
         node_feat = jax.nn.sigmoid(self.d_n_lin2(x)).reshape(B, N, -1)
 
-        # adjacency head (model.py:196-208)
+        # adjacency head (model.py:196-208); the [B,N,N,2C] pairwise map is
+        # row-blocked on nodes under an ambient mesh (parallel/hints.py)
         t1 = jnp.broadcast_to(z_sg_g[:, :, None, :], (B, N, N, z_sg_g.shape[-1]))
         t2 = jnp.broadcast_to(z_sg_g[:, None, :, :], (B, N, N, z_sg_g.shape[-1]))
-        t = jnp.concatenate([t1, t2], axis=-1)
+        t = ops.shard_nodes(jnp.concatenate([t1, t2], axis=-1), tag="dec.pair")
         for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
             t = bn(t)
             t = e2e(jax.nn.relu(t))

@@ -46,7 +46,7 @@ class JointSNDVAE(nn.Module):
             ]
         else:
             self.sg_convs = [
-                ops.SpatialGraphConv(tuple(h), use_pallas=cfg.use_pallas)
+                ops.SpatialGraphConv(tuple(h), use_pallas=cfg.pallas_engaged)
                 for h in enc.sg_conv_hidden
             ]
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
@@ -83,7 +83,10 @@ class JointSNDVAE(nn.Module):
         deterministic_z: bool = False,
         dropout_keep: float = 1.0,
     ) -> ModelOutput:
-        stats = self.encode(batch, key=key, dropout_keep=dropout_keep)
+        drop_key = None
+        if key is not None and dropout_keep < 1.0:
+            key, drop_key = jax.random.split(key)
+        stats = self.encode(batch, key=drop_key, dropout_keep=dropout_keep)
         if sample_prior:
             z_sg = jax.random.normal(key, stats.mean_sg.shape, stats.mean_sg.dtype)
         elif deterministic_z:
@@ -93,7 +96,11 @@ class JointSNDVAE(nn.Module):
                 key, stats.mean_sg.shape, stats.mean_sg.dtype
             ) * jnp.exp(stats.logstd_sg)
         latents = Latents(z_sg=z_sg)
-        decoded = self.decode(latents)
+        decoded = self.decode(
+            latents,
+            key=None if drop_key is None else jax.random.fold_in(drop_key, 101),
+            dropout_keep=dropout_keep,
+        )
         return ModelOutput(stats=stats, latents=latents, decoded=decoded)
 
     def encode(
@@ -118,28 +125,38 @@ class JointSNDVAE(nn.Module):
         # disentangled model's [B, S, L]
         return LatentStats(mean_sg=mean[:, None, :], logstd_sg=logstd[:, None, :])
 
-    def decode(self, latents: Latents) -> DecodedGraph:
+    def decode(
+        self,
+        latents: Latents,
+        key: Optional[jax.Array] = None,
+        dropout_keep: float = 1.0,
+    ) -> DecodedGraph:
         cfg = self.cfg
         dec = cfg.decoder
         N = cfg.num_nodes
         z_sg = latents.z_sg
         B = z_sg.shape[0]
+        no_drop = dropout_keep >= 1.0 or key is None
+        drop = lambda t, i: t if no_drop else ops.dropout(
+            t, dropout_keep, jax.random.fold_in(key, i), deterministic=False
+        )
         joint_h = self.d_sg_lin1(z_sg.reshape(B, -1)).reshape(B, N, dec.node_h_size)
 
-        # coordinate head (model_joint.py:112-123)
+        # coordinate head (model_joint.py:112-123; training-time dropout after
+        # each lrelu, model_joint.py:116)
         sp = joint_h
-        for conv, bn in zip(self.s_deconvs, self.d_bn_s):
-            sp = ops.lrelu(bn(conv(sp)))
+        for i, (conv, bn) in enumerate(zip(self.s_deconvs, self.d_bn_s)):
+            sp = drop(ops.lrelu(bn(conv(sp))), i)
         sp_flat = sp.reshape(B * N, -1)
         coords = apply_coord_activation(
             cfg, self.d_s_lin2(sp_flat),
             reference_linear=cfg.dataset in ("synthetic3", "scene"),
         ).reshape(B, N, -1)
 
-        # node-feature head (model_joint.py:129-145)
+        # node-feature head (model_joint.py:129-145; dropout at :139)
         x = joint_h
-        for conv, bn in zip(self.n_deconvs, self.d_bn_n):
-            x = ops.lrelu(bn(conv(x)))
+        for i, (conv, bn) in enumerate(zip(self.n_deconvs, self.d_bn_n)):
+            x = drop(ops.lrelu(bn(conv(x))), 100 + i)
         node_logits = self.d_n_lin2(x.reshape(B * N, -1))
         if cfg.dataset == "scene":
             node_feat_prob = node_logits.reshape(B, N, -1)

@@ -87,7 +87,10 @@ def make_train_step(
 
         def loss_fn(params):
             params_c, batch_c = _compute_cast(cfg, params, batch)
-            out = model.apply({"params": params_c}, batch_c, key=step_key)
+            out = model.apply(
+                {"params": params_c}, batch_c, key=step_key,
+                dropout_keep=cfg.train.dropout_keep_prob,
+            )
             total, aux = elbo_loss(
                 cfg, out, batch.adj, batch.features, batch.coords, global_iter,
                 node_mask=batch.node_mask,
@@ -121,7 +124,10 @@ def _make_scan_body(cfg: Config, model, optimizer: optax.GradientTransformation)
 
         def loss_fn(params):
             params_c, batch_c = _compute_cast(cfg, params, batch)
-            out = model.apply({"params": params_c}, batch_c, key=step_key)
+            out = model.apply(
+                {"params": params_c}, batch_c, key=step_key,
+                dropout_keep=cfg.train.dropout_keep_prob,
+            )
             total, aux = elbo_loss(
                 cfg, out, batch.adj, batch.features, batch.coords, global_iter,
                 node_mask=batch.node_mask,
@@ -231,6 +237,8 @@ def rebatch(data: GraphBatch, batch_size: int) -> GraphBatch:
         adj_samples=fold(data.adj_samples),
         factors=fold(data.factors),
         node_mask=fold(data.node_mask),
+        feat_samples=fold(data.feat_samples),
+        rel_samples=fold(data.rel_samples),
     )
 
 
@@ -329,25 +337,42 @@ class Trainer:
             os.path.join(workdir, cfg.train.checkpoint_dir,
                          f"{cfg.dataset}_{cfg.model_type}")
         )
+        # epoch of the spanning-tree draw currently in effect (0 = load-time)
+        self._tree_boundary = 0
+
+    def _mesh_scope(self):
+        """Ambient-mesh context for dispatches: activates the in-model node-
+        sharding hints (parallel/hints.py) when training over a mesh;
+        nullcontext single-device."""
+        from contextlib import nullcontext
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None else nullcontext()
 
     def _maybe_resample_trees(self, epoch: int) -> None:
         """Corrected-mode augmentation (cfg.train.resample_trees_every): at
-        every k-th epoch, re-draw the spanning-tree samples from the ORIGINAL
-        adjacencies on the host (keyed by seed+epoch) and push them to the
-        device.  The reference freezes its trees at load time
-        (input_data.py:70-83); identity when k<=0 (parity)."""
+        every k-th epoch boundary, re-draw the spanning-tree samples from the
+        ORIGINAL adjacencies on the host (keyed by seed+boundary) and push
+        them to the device.  The reference freezes its trees at load time
+        (input_data.py:70-83); identity when k<=0 (parity).
+
+        Keyed by the *boundary* epoch ``(epoch // k) * k`` rather than by
+        ``epoch % k == 0`` so that resuming mid-interval (e.g. a restart at
+        epoch 73 with k=50) deterministically reconstructs the epoch-50 draw
+        instead of silently training on the load-time trees until epoch 100."""
         k = self.cfg.train.resample_trees_every
-        if k <= 0 or epoch == 0 or epoch % k != 0:
+        if k <= 0 or self.data.adj_samples is None:
             return
-        if self.data.adj_samples is None:
+        boundary = (epoch // k) * k
+        if boundary == 0 or boundary == self._tree_boundary:
             return
         from .data.spanning_tree import sample_spanning_trees
 
         new = sample_spanning_trees(
             np.asarray(self.data.adj),
             self.data.adj_samples.shape[1],
-            seed=self.cfg.train.seed + epoch,
+            seed=self.cfg.train.seed + boundary,
         )
+        self._tree_boundary = boundary
         self.data = self.data.replace(
             adj_samples=jnp.asarray(new, self.data.adj_samples.dtype)
         )
@@ -406,9 +431,10 @@ class Trainer:
                     for i in range(batch_num):
                         batch = self.data.slice_batch(i * B, B)
                         t = time.time()
-                        self.state, aux = self.train_step(
-                            self.state, batch, jnp.asarray(epoch, jnp.float32)
-                        )
+                        with self._mesh_scope():
+                            self.state, aux = self.train_step(
+                                self.state, batch, jnp.asarray(epoch, jnp.float32)
+                            )
                         for k, v in aux.items():
                             storer[k].append(float(v))
                         if verbose:
@@ -417,7 +443,8 @@ class Trainer:
                                 f"time= {time.time() - t:.5f}"
                             )
                 else:
-                    self.state, aux = self.epoch_step(self.state, self.batched)
+                    with self._mesh_scope():
+                        self.state, aux = self.epoch_step(self.state, self.batched)
                     aux = jax.device_get(aux)  # one sync per epoch
                     storer = {k: list(np.asarray(v)) for k, v in aux.items()}
                     if verbose:
@@ -462,6 +489,14 @@ class Trainer:
                 # next cadence epoch at or after `epoch`; chunk must end at cad+1
                 cad = epoch + ((every - epoch % every) % every)
                 want = epoch_chunk
+                if per_epoch_est is None and cfg.train.max_dispatch_s > 0:
+                    # no timing estimate yet (fresh run or resume): the first
+                    # dispatch must not gamble against the worker's dispatch
+                    # tolerance, so probe with a single epoch.  Fresh runs hit
+                    # this anyway via the epoch-0 cadence boundary; resumes
+                    # (e.g. epoch 1, checkpoint_every=100) would otherwise
+                    # dispatch up to ~100 epochs blind.
+                    want = 1
                 if per_epoch_est is not None and cfg.train.max_dispatch_s > 0:
                     # keep one dispatch under the worker's tolerance
                     # (BASELINE.md: >~60 s dispatches crash the tunneled TPU)
@@ -484,14 +519,16 @@ class Trainer:
                     # multi-epoch scan (fresh runs always start with an n=1
                     # chunk at the epoch-0 cadence boundary; the extra
                     # whole-program compile costs minutes on a remote chip)
-                    self.state, aux = self.epoch_step(self.state, self.batched)
+                    with self._mesh_scope():
+                        self.state, aux = self.epoch_step(self.state, self.batched)
                     aux = jax.device_get(aux)  # [num_batches, ...] leaves
                     means = {k: np.mean(np.asarray(v), axis=0, keepdims=True)
                              for k, v in aux.items()}
                 else:
-                    self.state, means = self.multi_epoch_step(
-                        self.state, self.batched, n
-                    )
+                    with self._mesh_scope():
+                        self.state, means = self.multi_epoch_step(
+                            self.state, self.batched, n
+                        )
                     means = jax.device_get(means)  # one sync, [n, ...] leaves
                 dt = time.time() - t0
                 per_epoch = dt / n

@@ -32,8 +32,18 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> str:
     if redirecting:
         # the cache object is created lazily and pinned to the directory it
         # first initialized with; updating the config alone leaves writes
-        # going to the old directory
-        from jax._src.compilation_cache import reset_cache
+        # going to the old directory.  reset_cache is private jax API — if an
+        # upgrade moves it, a stale cache directory is degraded behavior, not
+        # an error.
+        try:
+            from jax._src.compilation_cache import reset_cache
+        except ImportError:
+            import warnings
 
-        reset_cache()
+            warnings.warn(
+                "jax._src.compilation_cache.reset_cache unavailable; "
+                "compilation cache may keep writing to the previous directory"
+            )
+        else:
+            reset_cache()
     return cache_dir

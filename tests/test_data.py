@@ -155,6 +155,39 @@ def test_load_dataset_synthetic_fallback():
     assert float(batch.coords.max()) <= 1.0 + 1e-6
 
 
+def test_pairing_skew_matches_reference_tile():
+    """``reproduce_pairing_skew`` must reproduce the reference's feed stream
+    exactly: adjacency samples flattened tree-major (main.py:132) while
+    features/rel are np.tile'd graph-major (main.py:307-309), so stream
+    index m pairs tree (m//S, m%S) with the features of graph m%G."""
+    cfg = preset("synthetic2").with_(
+        num_nodes=8, sampling_num=3, reproduce_pairing_skew=True
+    )
+    batch = load_dataset(cfg, "train", num_graphs=5)
+    G, S = 5, 3
+    assert batch.feat_samples.shape == (G, S, 8, 1)
+    assert batch.rel_samples.shape == (G, S, 8, 8, 1)
+
+    feats = np.asarray(batch.features)       # [G,N,F] (loader-shuffled order)
+    rel = np.asarray(batch.rel)              # [G,N,N,R]
+    # the reference's literal construction over the same arrays
+    feat_ref = np.tile(feats, (S, 1, 1))     # main.py:307
+    rel_ref = np.tile(rel, (S, 1, 1, 1))     # main.py:309
+    got_f = np.asarray(batch.feat_samples).reshape(G * S, 8, 1)
+    got_r = np.asarray(batch.rel_samples).reshape(G * S, 8, 8, 1)
+    np.testing.assert_array_equal(got_f, feat_ref)
+    np.testing.assert_array_equal(got_r, rel_ref)
+    # adjacency stream is tree-major by construction (main.py:132)
+    adj_stream = np.asarray(batch.adj_samples).reshape(G * S, 8, 8)
+    for m in range(G * S):
+        np.testing.assert_array_equal(
+            adj_stream[m], np.asarray(batch.adj_samples)[m // S, m % S]
+        )
+    # default mode carries no skew arrays
+    batch2 = load_dataset(cfg.with_(reproduce_pairing_skew=False), "train", num_graphs=5)
+    assert batch2.feat_samples is None and batch2.rel_samples is None
+
+
 def test_load_dataset_roundtrip_reference_layout(tmp_path):
     """Write the reference's on-disk .npy layout and load through the same
     path the reference uses (input_data.py:54-96)."""

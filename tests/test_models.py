@@ -120,6 +120,65 @@ def test_joint_model(tiny_batch, key):
     assert "spatial_kl" not in aux  # base model logs only sg_kl (main.py:344-345)
 
 
+def test_joint_model_training_dropout(tiny_batch, key):
+    """dropout_keep<1 perturbs the joint model's training forward (encoder
+    model_joint.py:81, spatial head :116, node head :139); keep=1 is exactly
+    the deterministic path, and the disentangled model ignores the knob
+    (its dropout sites are commented out, model.py:108,192,217)."""
+    cfg = tiny_cfg(model_type="base")
+    model = JointSNDVAE(cfg)
+    v = model.init(key, tiny_batch, key=key)
+    base = model.apply(v, tiny_batch, key=key, dropout_keep=1.0)
+    dropped = model.apply(v, tiny_batch, key=key, dropout_keep=0.5)
+    assert not np.allclose(
+        np.asarray(base.decoded.coords), np.asarray(dropped.decoded.coords)
+    )
+    assert not np.allclose(
+        np.asarray(base.stats.mean_sg), np.asarray(dropped.stats.mean_sg)
+    )
+    again = model.apply(v, tiny_batch, key=key, dropout_keep=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(base.decoded.coords), np.asarray(again.decoded.coords)
+    )
+
+    dcfg = tiny_cfg()
+    dmodel = DisentangledSNDVAE(dcfg)
+    dv = dmodel.init(key, tiny_batch, key=key)
+    d1 = dmodel.apply(dv, tiny_batch, key=key, dropout_keep=0.5)
+    d2 = dmodel.apply(dv, tiny_batch, key=key, dropout_keep=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(d1.decoded.coords), np.asarray(d2.decoded.coords)
+    )
+
+
+def test_pairing_skew_changes_sg_inputs(key):
+    """With reproduce_pairing_skew the sg-branch consumes the reference's
+    tile-skewed features/rel, changing the sg posterior but no other
+    branch (the skew only affects the sampled-tree stream)."""
+    cfg = tiny_cfg()
+    batch = loaders.load_dataset(
+        cfg.with_(reproduce_pairing_skew=True), "train", num_graphs=4
+    ).slice_batch(0, 2)
+    assert batch.feat_samples is not None
+    model = DisentangledSNDVAE(cfg)
+    v = model.init(key, batch, key=key)
+    skewed = model.apply(v, batch, key=key, deterministic_z=True)
+    unskewed = model.apply(
+        v, batch.replace(feat_samples=None, rel_samples=None),
+        key=key, deterministic_z=True,
+    )
+    # identical g/s branches, different sg posterior
+    np.testing.assert_array_equal(
+        np.asarray(skewed.stats.mean_g), np.asarray(unskewed.stats.mean_g)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(skewed.stats.mean_s), np.asarray(unskewed.stats.mean_s)
+    )
+    assert not np.allclose(
+        np.asarray(skewed.stats.mean_sg), np.asarray(unskewed.stats.mean_sg)
+    )
+
+
 @pytest.mark.parametrize(
     "mt", ["disentangled", "disentangled_C", "NED-VAE-IP", "beta-TCVAE"]
 )

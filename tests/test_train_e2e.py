@@ -263,6 +263,33 @@ def test_resample_trees_option(tmp_path):
     assert logged == [0, 1, 2]
 
 
+def test_resample_resume_reconstructs_boundary_draw(tmp_path):
+    """Resuming mid-resample-interval deterministically reconstructs the draw
+    in effect at the last boundary (seed+boundary) instead of reverting to
+    the load-time trees until the next boundary (ADVICE r1)."""
+    cfg = tiny_cfg(tmp_path, num_nodes=12)
+    cfg = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "resample_trees_every": 2}
+    ))
+    batch = loaders.load_dataset(cfg, "train", num_graphs=8)
+
+    t1 = Trainer(cfg, batch, workdir=str(tmp_path / "a"))
+    load_time = np.asarray(t1.data.adj_samples).copy()
+    t1._maybe_resample_trees(2)          # uninterrupted run's epoch-2 draw
+    expect = np.asarray(t1.data.adj_samples).copy()
+    assert not np.array_equal(expect, load_time)
+    t1._maybe_resample_trees(3)          # same interval: no redraw
+    assert np.array_equal(np.asarray(t1.data.adj_samples), expect)
+
+    t2 = Trainer(cfg, batch, workdir=str(tmp_path / "b"))
+    t2._maybe_resample_trees(3)          # fresh process resuming at epoch 3
+    assert np.array_equal(np.asarray(t2.data.adj_samples), expect)
+
+    t3 = Trainer(cfg, batch, workdir=str(tmp_path / "c"))
+    t3._maybe_resample_trees(1)          # before the first boundary
+    assert np.array_equal(np.asarray(t3.data.adj_samples), load_time)
+
+
 def test_trainer_dispatch_guard_caps_chunks(tmp_path):
     """With max_dispatch_s set impossibly low, the chunked trainer falls back
     to 1-epoch dispatches after the first estimate but still completes and
@@ -287,12 +314,14 @@ def test_trainer_dispatch_guard_caps_chunks(tmp_path):
     len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
 )
 def test_trainer_mesh_cli_path(tmp_path):
-    """The CLI's --dp/--tp path: a Trainer over a real mesh runs an epoch
-    and logs finite losses (data-parallel 4 x tensor-parallel 2)."""
+    """The CLI's --dp/--tp path (carried via cfg.mesh): a Trainer over a real
+    mesh runs an epoch and logs finite losses (data-parallel 4 x
+    tensor-parallel 2)."""
     from snd_vae_tpu.cli import run_train
 
     cfg = tiny_cfg(tmp_path)
-    out = run_train(cfg, str(tmp_path), epochs=1, dp=4, tp=2)
+    cfg = cfg.with_(mesh=cfg.mesh.__class__(data=4, model=2))
+    out = run_train(cfg, str(tmp_path), epochs=1)
     assert np.isfinite(out["loss"])
 
 
