@@ -43,6 +43,24 @@ EPOCH_CHUNK = 250     # epochs per dispatch (amortizes the per-dispatch and
                       # per-fetch host round-trips to ~1% of chunk time)
 MEASURE_CHUNKS = 2    # 500 measured epochs total
 
+# v5e peak: 197 TFLOP/s bf16 MXU (the bench's compute dtype).  MFU is
+# reported against this so perf is judged vs the hardware ceiling, not only
+# vs the 1-core TF-CPU baseline.
+PEAK_FLOPS = float(os.environ.get("SND_PEAK_FLOPS", 197e12))
+
+
+def _program_flops(jitted, *args, **kw) -> float:
+    """Analytic FLOPs of one compiled dispatch via XLA's cost analysis
+    (client-side HLO pass; 0.0 if the backend can't report it)."""
+    try:
+        cost = jitted.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(cost, list):  # per-device list on some backends
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:  # analysis is best-effort; the metric is optional
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
+
 
 def _run():
     from snd_vae_tpu.train import make_multi_epoch_step, rebatch
@@ -76,17 +94,35 @@ def _run():
         jax.device_get(aux["loss"])  # host fetch per chunk: honest fence
     dt = time.perf_counter() - t0
 
+    # analytic FLOPs of ONE optimization step, AFTER timing (the AOT lower/
+    # compile path may not share the dispatch cache).  The step program is
+    # analyzed instead of the chunk: XLA's cost analysis does not multiply
+    # While-loop bodies by trip count, so the scan program under-reports by
+    # the number of steps per chunk.
+    from snd_vae_tpu.train import make_train_step
+
+    step = make_train_step(cfg, model, make_optimizer(cfg))
+    one = jax.tree.map(lambda x: x[0], batched)
+    step_flops = _program_flops(step, state, one, jnp.asarray(0.0))
+
     graphs_per_sec = MEASURE_CHUNKS * EPOCH_CHUNK * nb * B / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_graphs_per_sec_per_chip",
-                "value": round(graphs_per_sec, 2),
-                "unit": "graphs/s",
-                "vs_baseline": round(graphs_per_sec / DEFAULT_BASELINE_GRAPHS_PER_SEC, 2),
-            }
+    record = {
+        "metric": "train_graphs_per_sec_per_chip",
+        "value": round(graphs_per_sec, 2),
+        "unit": "graphs/s",
+        "vs_baseline": round(graphs_per_sec / DEFAULT_BASELINE_GRAPHS_PER_SEC, 2),
+    }
+    if step_flops > 0:
+        total_flops = step_flops * MEASURE_CHUNKS * EPOCH_CHUNK * nb
+        mfu = total_flops / dt / PEAK_FLOPS
+        record["mfu"] = round(mfu, 5)
+        print(
+            f"mfu={mfu:.5f} ({total_flops / dt / 1e12:.3f} "
+            f"TFLOP/s of {PEAK_FLOPS / 1e12:.0f} peak; "
+            f"{step_flops:.3e} flops/step)",
+            file=sys.stderr,
         )
-    )
+    print(json.dumps(record))
 
 
 def main(attempts: int = 3, retry_wait_s: float = 240.0):
@@ -97,7 +133,13 @@ def main(attempts: int = 3, retry_wait_s: float = 240.0):
     for attempt in range(attempts):
         try:
             return _run()
-        except jax.errors.JaxRuntimeError as e:
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as e:
+            # broad on purpose: a tunneled-worker outage surfaces either as
+            # jax.errors.JaxRuntimeError or as transport-level errors from
+            # the remote plugin (connection/HTTP failures), and the retry
+            # exists precisely for those
             if attempt == attempts - 1:
                 raise
             # stderr only: stdout must stay exactly one JSON line

@@ -146,11 +146,38 @@ def bench_full_train():
         state, aux = step(state, batched)
         jax.device_get(aux["loss"])          # one fetch fences all reps
         dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({
+        row = {
             "bench": "full_train_step", "n": n, "batch_graphs": 2,
             "ms_per_step": round(dt * 1e3, 2),
             "graphs_per_sec": round(2.0 / dt, 1),
-        }), flush=True)
+        }
+        flops = _step_flops(cfg, model, state, batched)
+        if flops > 0:
+            row["flops_per_step"] = flops
+            row["mfu"] = round(flops / dt / PEAK_FLOPS, 4)
+        print(json.dumps(row), flush=True)
+
+
+# v5e bf16 MXU peak; see bench.py
+PEAK_FLOPS = float(os.environ.get("SND_PEAK_FLOPS", 197e12))
+
+
+def _step_flops(cfg, model, state, batched) -> float:
+    """Analytic FLOPs of one optimization step via XLA cost analysis of the
+    per-step program (the scan program under-reports: While bodies are not
+    multiplied by trip count)."""
+    from snd_vae_tpu.train import make_optimizer, make_train_step
+
+    try:
+        pstep = make_train_step(cfg, model, make_optimizer(cfg))
+        one = jax.tree.map(lambda x: x[0], batched)
+        cost = pstep.lower(state, one, jnp.asarray(0.0)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
 
 
 def bench_full_train_3d():
@@ -195,7 +222,12 @@ def bench_full_train_3d():
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
-    bench_aggregation()
-    bench_spatial_conv()
-    bench_full_train()
-    bench_full_train_3d()
+    benches = {
+        "aggregation": bench_aggregation,
+        "spatial_conv": bench_spatial_conv,
+        "full_train": bench_full_train,
+        "full_train_3d": bench_full_train_3d,
+    }
+    wanted = sys.argv[1:] or list(benches)
+    for name in wanted:
+        benches[name]()

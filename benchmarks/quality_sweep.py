@@ -1,0 +1,144 @@
+"""Quality operating-point sweep (VERDICT r1 item 5).
+
+Hunts a hyperparameter point with credible held-out reconstruction
+(edge AUC >> 0.53, F1 >> 0.145) while keeping generation MMDs near the
+beta=1 values.  Context (BASELINE.md "Quality snapshot"): at beta=1 the g/s
+KLs collapse and held-out edge AUC sits at 0.53, while the data-intrinsic
+ceiling from coordinates alone is ~0.73 (negative-pairwise-distance AUC on
+the held-out synthetic2 set) — and the g-branch sees the true adjacency, so
+the ceiling is higher still.  Levers swept here:
+
+  * beta — KL weight (reference flag, main.py:89);
+  * use_weighted_bce — the pos_weight/norm edge loss the reference computes
+    but never uses (main.py:246-247, optimizer.py:124): edges are ~11% of
+    pairs, so unweighted CE rewards majority-class collapse (edge F1 ~ 0);
+  * resample_trees_every / reshuffle — corrected-mode augmentation;
+  * parity=False — live batch statistics instead of the reference's frozen
+    BN (SURVEY §7 quirk 3);
+  * lr / epochs.
+
+Each run: 2000-epoch chunked train on the TPU (~90 s + remote compile),
+held-out reconstruction eval, and a 100-graph generation eval.  Results
+append to benchmarks/quality_sweep_results.jsonl; completed configs are
+skipped, so the sweep is resumable.
+
+Usage:  python benchmarks/quality_sweep.py [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from snd_vae_tpu.config import synthetic2_preset
+from snd_vae_tpu.utils.compile_cache import enable_compilation_cache
+
+RESULTS = os.path.join(os.path.dirname(__file__), "quality_sweep_results.jsonl")
+WORK_ROOT = os.environ.get("SND_SWEEP_WORKDIR", "/tmp/snd_quality_sweep")
+
+
+def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
+         parity=True, lr=None, epochs=2000):
+    cfg = synthetic2_preset(compute_dtype="bfloat16", parity=parity)
+    cfg = cfg.with_(loss=cfg.loss.__class__(
+        **{**cfg.loss.__dict__, "beta": beta, "use_weighted_bce": wbce}
+    ))
+    tr = dict(cfg.train.__dict__)
+    tr.update(
+        epochs=epochs,
+        resample_trees_every=resample,
+        reshuffle=reshuffle,
+        checkpoint_every=max(epochs // 4, 1),
+    )
+    if lr is not None:
+        tr["learning_rate"] = lr
+    return name, cfg.with_(train=cfg.train.__class__(**tr))
+
+
+CONFIGS = [
+    _cfg("b1", beta=1.0),
+    _cfg("b0.1", beta=0.1),
+    _cfg("b0.03", beta=0.03),
+    _cfg("b1_wbce", beta=1.0, wbce=True),
+    _cfg("b0.1_wbce", beta=0.1, wbce=True),
+    _cfg("b0.03_wbce", beta=0.03, wbce=True),
+    _cfg("b0.1_aug", beta=0.1, resample=50, reshuffle=True),
+    _cfg("b0.1_wbce_aug", beta=0.1, wbce=True, resample=50, reshuffle=True),
+    _cfg("b0.1_livebn", beta=0.1, parity=False),
+    _cfg("b0.1_wbce_livebn_aug", beta=0.1, wbce=True, parity=False,
+         resample=50, reshuffle=True),
+    _cfg("b0.1_lr3e3", beta=0.1, lr=3e-3),
+    _cfg("b0.1_wbce_ep6000", beta=0.1, wbce=True, epochs=6000),
+]
+
+
+def _done() -> set:
+    if not os.path.exists(RESULTS):
+        return set()
+    with open(RESULTS) as f:
+        return {json.loads(line)["name"] for line in f if line.strip()}
+
+
+def run_one(name, cfg):
+    from snd_vae_tpu import cli
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import Trainer
+
+    workdir = os.path.join(WORK_ROOT, name)
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+    batch = loaders.load_dataset(cfg, "train")
+    trainer = Trainer(cfg, batch, workdir=workdir)
+    means = trainer.run(verbose=False, epoch_chunk=100)
+    train_s = time.time() - t0
+
+    rec = cli.run_test_reconstruct(cfg, workdir)
+    gen = cli.run_test_generation(cfg, workdir, num_generate=100)
+    row = {
+        "name": name,
+        "beta": cfg.loss.beta,
+        "wbce": cfg.loss.use_weighted_bce,
+        "parity": cfg.parity,
+        "resample": cfg.train.resample_trees_every,
+        "reshuffle": cfg.train.reshuffle,
+        "lr": cfg.train.learning_rate,
+        "epochs": cfg.train.epochs,
+        "train_s": round(train_s, 1),
+        "final": {k: round(float(v), 5) for k, v in means.items()},
+        "reconstruct": {k: round(float(v), 5) for k, v in rec.items()},
+        "generation": {k: round(float(v), 5) for k, v in gen.items()},
+    }
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(f"[{name}] done in {time.time() - t0:.0f}s: "
+          f"AUC={rec.get('edge_auc', float('nan')):.3f} "
+          f"F1={rec.get('edge_f1', float('nan')):.3f}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config names to run")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    done = _done()
+    only = set(args.only.split(",")) if args.only else None
+    for name, cfg in CONFIGS:
+        if name in done:
+            print(f"[{name}] already recorded; skipping", flush=True)
+            continue
+        if only is not None and name not in only:
+            continue
+        try:
+            run_one(name, cfg)
+        except Exception as e:
+            print(f"[{name}] FAILED: {e!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

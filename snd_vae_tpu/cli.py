@@ -61,6 +61,10 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
             **{**cfg.decoder.__dict__, "coord_activation": args.coord_activation}
         ))
+    if getattr(args, "dp", 1) != 1 or getattr(args, "tp", 1) != 1:
+        cfg = cfg.with_(mesh=cfg.mesh.__class__(data=args.dp, model=args.tp))
+    if getattr(args, "pairing_skew", False):
+        cfg = cfg.with_(reproduce_pairing_skew=True)
     return cfg
 
 
@@ -70,16 +74,14 @@ def run_train(
     epochs: Optional[int] = None,
     per_step: bool = False,
     profile: bool = False,
-    dp: int = 1,
-    tp: int = 1,
     epoch_chunk: int = 1,
 ) -> Dict[str, float]:
     batch = loaders.load_dataset(cfg, "train")
     mesh = None
-    if dp * tp > 1:
+    if cfg.mesh.data * cfg.mesh.model > 1:
         from .parallel import mesh as pmesh
 
-        mesh = pmesh.make_mesh(data=dp, model=tp)
+        mesh = pmesh.mesh_from_config(cfg.mesh)
     trainer = Trainer(cfg, batch, mesh=mesh, workdir=workdir)
     profile_dir = os.path.join(workdir, "profile") if profile else None
     return trainer.run(epochs=epochs, per_step=per_step, profile_dir=profile_dir,
@@ -161,18 +163,30 @@ def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
     return results
 
 
-def run_test_generation(cfg: Config, workdir: str) -> Dict[str, float]:
-    """Decode-from-prior + graph-statistic metrics (main.py:428-469)."""
+def run_test_generation(
+    cfg: Config, workdir: str, num_generate: Optional[int] = None
+) -> Dict[str, float]:
+    """Decode-from-prior + graph-statistic metrics (main.py:428-469).
+
+    Samples ``num_generate`` graphs (default 100 — graph-statistic MMDs over
+    a handful of graphs are noise; the reference decodes its whole test set,
+    main.py:428-469) in fixed-size batches so one decode dispatch stays small
+    and every chunk reuses one compiled program.
+    """
     batch, model, state = _restore_for_eval(cfg, workdir)
     key = jax.random.PRNGKey(cfg.train.seed + 1)
-    num = batch.batch_size
+    num = num_generate or max(100, cfg.train.batch_size)
+    chunk = min(num, max(cfg.train.batch_size, 25))
 
-    decoded = model.apply(
-        {"params": state.params}, key, num, method=type(model).generate
-    )
-    gen_adj = np.asarray(decoded.adj)
-    gen_nodes = np.asarray(decoded.node_feat)
-    gen_spatial = np.asarray(decoded.coords)
+    decoded = []
+    for i in range((num + chunk - 1) // chunk):
+        decoded.append(jax.device_get(model.apply(
+            {"params": state.params}, jax.random.fold_in(key, i), chunk,
+            method=type(model).generate,
+        )))
+    gen_adj = np.concatenate([np.asarray(d.adj) for d in decoded])[:num]
+    gen_nodes = np.concatenate([np.asarray(d.node_feat) for d in decoded])[:num]
+    gen_spatial = np.concatenate([np.asarray(d.coords) for d in decoded])[:num]
     return generation_evaluation(
         gen_adj, gen_nodes, gen_spatial,
         np.asarray(batch.adj), np.asarray(batch.features), np.asarray(batch.coords),
@@ -180,12 +194,51 @@ def run_test_generation(cfg: Config, workdir: str) -> Dict[str, float]:
     )
 
 
-def run_test_disentangle(cfg: Config, workdir: str) -> str:
-    """Three-group latent traversal + grid figure (main.py:473-497)."""
+def run_test_disentangle(
+    cfg: Config,
+    workdir: str,
+    mode: str = "generation",
+    group: str = "sg",
+    dim: int = 0,
+) -> str:
+    """Latent traversal + grid figure (main.py:473-497).
+
+    ``mode``:
+      * ``generation`` — the reference's simultaneous 3-group sweep
+        (traverse_generation, model.py:267-324); disentangled models only.
+      * ``single`` — one dimension of one group (traverse, model.py:232-265).
+      * ``latent`` — every dimension of every group (traverse_latent,
+        model.py:326-358).
+    The base/joint model always uses its single-latent sweep
+    (traverse_joint, model_joint.py:192-206) regardless of ``mode``.
+    """
     batch, model, state = _restore_for_eval(cfg, workdir)
     qdir = os.path.join(workdir, "qualitative_evaluation")
-    z_s, z_g, z_sg = trav.load_saved_latents(cfg, qdir, cfg.model_type)
-    latents = trav.traverse_generation(cfg, z_s, z_g, z_sg)
+    V = cfg.visualize_length
+    if not cfg.is_disentangled:
+        z_sg = np.load(
+            os.path.join(qdir, cfg.dataset, f"{cfg.model_type}_z_sg.npy")
+        ).reshape(-1, cfg.encoder.sg_latent_size)
+        latents = trav.traverse_joint(cfg, z_sg, dim)
+        # decode only the swept block (the reference decodes the full static
+        # grid, model_joint.py:203; the other rows are untouched anchors)
+        d = min(dim, cfg.encoder.sg_latent_size - 1)
+        latents = jax.tree.map(lambda z: z[d * V : d * V + V], latents)
+        rows = 1
+    else:
+        z_s, z_g, z_sg = trav.load_saved_latents(cfg, qdir, cfg.model_type)
+        if mode == "generation":
+            latents = trav.traverse_generation(cfg, z_s, z_g, z_sg)
+            rows = 3
+        elif mode == "single":
+            latents = trav.traverse(cfg, z_s, z_g, z_sg, group, dim)
+            rows = 1
+        elif mode == "latent":
+            latents = trav.traverse_latent(cfg, z_s, z_g, z_sg)
+            enc = cfg.encoder
+            rows = enc.s_latent_size + enc.g_latent_size + enc.sg_latent_size
+        else:
+            raise ValueError(f"unknown traverse mode {mode!r}")
     decoded = model.apply(
         {"params": state.params}, latents, method=type(model).decode
     )
@@ -193,7 +246,7 @@ def run_test_disentangle(cfg: Config, workdir: str) -> str:
     # denormalization mirrors main.py:492-497 (x120 features, x600 coords)
     visualize_traverse(
         np.asarray(decoded.adj), np.asarray(decoded.node_feat) * 120,
-        np.asarray(decoded.coords) * 600, 3, cfg.visualize_length, cfg.dataset,
+        np.asarray(decoded.coords) * 600, rows, V, cfg.dataset,
         save_path=path,
     )
     return path
@@ -220,8 +273,8 @@ def main(argv=None):
     )
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--num-generate", type=int, default=None, dest="num_generate",
-                   help="graphs to generate with --type sample "
-                        "(default: batch_size)")
+                   help="graphs to generate with --type sample (default: "
+                        "batch_size) or --type test_generation (default: 100)")
     p.add_argument("--beta", type=float, default=None)
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--workdir", default=".")
@@ -234,6 +287,10 @@ def main(argv=None):
                    help="re-draw spanning-tree samples every k epochs "
                         "(corrected-mode augmentation; 0 = reference "
                         "behavior, trees frozen at load)")
+    p.add_argument("--pairing-skew", action="store_true", dest="pairing_skew",
+                   help="reproduce the reference's spanning-tree/feature "
+                        "tile-skew pairing (main.py:307-309 vs :132) for "
+                        "data-pipeline parity runs")
     p.add_argument("--coord-activation", default="auto", dest="coord_activation",
                    choices=["auto", "linear", "sigmoid"],
                    help="coordinate-head activation; 'linear' is the "
@@ -248,7 +305,29 @@ def main(argv=None):
                    help="tensor-parallel mesh size (wide kernels over 'model')")
     p.add_argument("--epoch-chunk", type=int, default=1, dest="epoch_chunk",
                    help="epochs per device dispatch (amortizes dispatch latency)")
+    p.add_argument("--traverse-mode", default="generation", dest="traverse_mode",
+                   choices=["generation", "single", "latent"],
+                   help="test_disentangle sweep: 3-group 'generation' "
+                        "(model.py:267-324), one-dim 'single' "
+                        "(model.py:232-265), or all-dims 'latent' "
+                        "(model.py:326-358)")
+    p.add_argument("--traverse-group", default="sg", dest="traverse_group",
+                   choices=["s", "g", "sg"],
+                   help="latent group for --traverse-mode single")
+    p.add_argument("--traverse-dim", type=int, default=0, dest="traverse_dim",
+                   help="latent dimension for --traverse-mode single and the "
+                        "base model's single-latent sweep")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize before "
+                        "any backend touch (coordinator/env-driven; "
+                        "auto-detected on TPU pod slices)")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        from .parallel.distributed import initialize_distributed
+
+        pid = initialize_distributed()
+        print(f"distributed: process {pid}/{jax.process_count()}", flush=True)
 
     from .utils.compile_cache import enable_compilation_cache
 
@@ -258,13 +337,16 @@ def main(argv=None):
     if args.type == "train":
         out = run_train(cfg, args.workdir, epochs=args.epochs,
                         per_step=args.per_step, profile=args.profile,
-                        dp=args.dp, tp=args.tp, epoch_chunk=args.epoch_chunk)
+                        epoch_chunk=args.epoch_chunk)
     elif args.type == "test_reconstruct":
         out = run_test_reconstruct(cfg, args.workdir)
     elif args.type == "test_generation":
-        out = run_test_generation(cfg, args.workdir)
+        out = run_test_generation(cfg, args.workdir,
+                                  num_generate=args.num_generate)
     elif args.type == "test_disentangle":
-        out = run_test_disentangle(cfg, args.workdir)
+        out = run_test_disentangle(cfg, args.workdir, mode=args.traverse_mode,
+                                   group=args.traverse_group,
+                                   dim=args.traverse_dim)
     elif args.type == "sample":
         _, model, state = _restore_for_eval(cfg, args.workdir)
         num = args.num_generate or cfg.train.batch_size

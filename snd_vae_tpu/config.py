@@ -164,9 +164,6 @@ class MeshConfig:
 
     data: int = 1
     model: int = 1
-    # shard the spanning-tree sample axis S over 'model' when True and the
-    # model axis divides S; otherwise 'model' shards hidden dims.
-    shard_samples: bool = False
 
 
 @dataclass(frozen=True)
@@ -202,8 +199,17 @@ class Config:
     reproduce_pairing_skew: bool = False
     # compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity)
     compute_dtype: str = "float32"
-    # use the fused Pallas motif kernel when shapes allow (TPU only)
+    # allow the fused Pallas motif kernel (TPU only).  The kernel is only
+    # engaged at num_nodes >= pallas_min_nodes: XLA's fused einsum lowering
+    # wins at the reference operating point (N=25: 8525 vs 2005 graphs/s,
+    # BASELINE.md "Pallas"), so small-N models auto-fall back even when the
+    # flag is set.  Set pallas_min_nodes=0 to force the kernel everywhere.
     use_pallas: bool = False
+    pallas_min_nodes: int = 256
+
+    @property
+    def pallas_engaged(self) -> bool:
+        return self.use_pallas and self.num_nodes >= self.pallas_min_nodes
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:
@@ -246,6 +252,23 @@ def synthetic2_preset(**overrides) -> Config:
     """Best hyperparameters for synthetic2 (main.py:173-217)."""
     cfg = Config(
         dataset="synthetic2",
+        num_nodes=25,
+        spatial_dim=2,
+        encoder=EncoderConfig(sg_hidden_size=100, sg_latent_size=100),
+        decoder=DecoderConfig(node_h_size=20),
+        train=TrainConfig(learning_rate=0.0008, epochs=1000, batch_size=10),
+    )
+    return cfg.with_(**overrides)
+
+
+def synthetic3_preset(**overrides) -> Config:
+    """synthetic3 preset.  The reference defines no flag block for it —
+    its only footprint is the dataset-dispatch branches (2D-family conv at
+    model.py:137; linear coordinate head under the joint model at
+    model_joint.py:118-121) — so hyperparameters default to the synthetic2
+    block (main.py:173-217) with the same 2D geometry."""
+    cfg = Config(
+        dataset="synthetic3",
         num_nodes=25,
         spatial_dim=2,
         encoder=EncoderConfig(sg_hidden_size=100, sg_latent_size=100),
@@ -308,6 +331,7 @@ def scene_preset(**overrides) -> Config:
 PRESETS = {
     "synthetic1": synthetic1_preset,
     "synthetic2": synthetic2_preset,
+    "synthetic3": synthetic3_preset,
     "protein": protein_preset,
     "mnist": mnist_preset,
     "scene": scene_preset,

@@ -97,3 +97,16 @@ def test_fused_motif_combine_matches_reference(rng):
         jnp.asarray(v_j), jnp.asarray(f_ik), jnp.asarray(bias),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_config_gate():
+    """use_pallas is auto-gated by node count: XLA wins at the reference
+    operating point (BASELINE.md "Pallas"), so the kernel only engages at
+    num_nodes >= pallas_min_nodes; 0 forces it everywhere."""
+    from snd_vae_tpu.config import preset
+
+    cfg = preset("synthetic2").with_(use_pallas=True)  # N=25
+    assert not cfg.pallas_engaged
+    assert cfg.with_(num_nodes=256).pallas_engaged
+    assert cfg.with_(pallas_min_nodes=0).pallas_engaged
+    assert not cfg.with_(use_pallas=False, num_nodes=512).pallas_engaged
