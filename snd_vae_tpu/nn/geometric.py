@@ -46,7 +46,7 @@ def knn_dist(x: jnp.ndarray, eps: float = 1e-6, top_k: int = 10) -> Tuple[jnp.nd
     dx = x[:, None, :, :] - x[:, :, None, :]
     d = jnp.sqrt(jnp.sum(dx * dx, axis=-1) + eps)
     d_max = jnp.max(d, axis=-1, keepdims=True)
-    d_adjust = d + d_max  # push self-distance beyond any true neighbor
+    d_adjust = d + d_max  # per-row constant shift: ordering unchanged
     neg_top, e_idx = jax.lax.top_k(-d_adjust, min(top_k, x.shape[1]))
     return -neg_top, e_idx
 
