@@ -263,6 +263,35 @@ def test_resample_trees_option(tmp_path):
     assert logged == [0, 1, 2]
 
 
+def test_resume_first_dispatch_probes_one_epoch(tmp_path):
+    """Resuming mid-cadence must not dispatch a whole blind chunk before any
+    per-epoch timing estimate exists (ADVICE r1: a resume at epoch 2 with
+    checkpoint_every=100 used to dispatch up to ~100 epochs in one go,
+    gambling against the tunneled worker's dispatch tolerance)."""
+    cfg = tiny_cfg(tmp_path)
+    batch = loaders.load_dataset(cfg, "train", num_graphs=8)
+    t1 = Trainer(cfg, batch, workdir=str(tmp_path))
+    t1.run(epochs=2, verbose=False)          # checkpoints at 0,1 (every=1)
+
+    cfg2 = cfg.with_(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "checkpoint_every": 100}
+    ))
+    t2 = Trainer(cfg2, batch, workdir=str(tmp_path))
+    probe_ns = []
+    orig_epoch, orig_multi = t2.epoch_step, t2.multi_epoch_step
+    t2.epoch_step = lambda s, b: (probe_ns.append(1), orig_epoch(s, b))[1]
+    t2.multi_epoch_step = lambda s, b, n: (
+        probe_ns.append(n), orig_multi(s, b, n))[1]
+    t2.run(epochs=7, verbose=False, epoch_chunk=5)
+    # resume at epoch 2: first dispatch is a 1-epoch probe, then real chunks
+    assert probe_ns[0] == 1, probe_ns
+    assert sum(probe_ns) == 5  # epochs 2..6... plus 7? -> exactly 5 epochs
+    logged = [
+        json.loads(line)["epoch"] for line in open(t2.logger.jsonl_path)
+    ]
+    assert logged[-1] == 6
+
+
 def test_resample_resume_reconstructs_boundary_draw(tmp_path):
     """Resuming mid-resample-interval deterministically reconstructs the draw
     in effect at the last boundary (seed+boundary) instead of reverting to
