@@ -43,11 +43,15 @@ WORK_ROOT = os.environ.get("SND_SWEEP_WORKDIR", "/tmp/snd_quality_sweep")
 
 
 def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
-         parity=True, lr=None, epochs=2000):
+         parity=True, lr=None, epochs=2000, efc=False):
     cfg = synthetic2_preset(compute_dtype="bfloat16", parity=parity)
     cfg = cfg.with_(loss=cfg.loss.__class__(
         **{**cfg.loss.__dict__, "beta": beta, "use_weighted_bce": wbce}
     ))
+    if efc:
+        cfg = cfg.with_(decoder=cfg.decoder.__class__(
+            **{**cfg.decoder.__dict__, "edge_from_coords": True}
+        ))
     tr = dict(cfg.train.__dict__)
     tr.update(
         epochs=epochs,
@@ -74,6 +78,13 @@ CONFIGS = [
          resample=50, reshuffle=True),
     _cfg("b0.1_lr3e3", beta=0.1, lr=3e-3),
     _cfg("b0.1_wbce_ep6000", beta=0.1, wbce=True, epochs=6000),
+    # corrected-mode edge_from_coords head (decoded-coordinate distances as
+    # an edge channel; distance alone scores AUC 0.73 on this data)
+    _cfg("b0.1_efc", beta=0.1, efc=True),
+    _cfg("b0.1_wbce_efc", beta=0.1, wbce=True, efc=True),
+    _cfg("b0.1_wbce_efc_aug", beta=0.1, wbce=True, efc=True,
+         resample=50, reshuffle=True),
+    _cfg("b0.03_wbce_efc", beta=0.03, wbce=True, efc=True),
 ]
 
 

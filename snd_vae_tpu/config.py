@@ -92,6 +92,13 @@ class DecoderConfig:
     e_d_hidden: Tuple[int, ...] = (50, 20)
     # scene dataset: categorical edges with this many classes
     num_edge_feature: int = 2
+    # corrected-mode option: feed the decoded coordinates' pairwise
+    # distances to the adjacency head as an extra edge channel.  The
+    # reference's edge head sees only latent tiles (model.py:196-198), yet
+    # spatial-network edges are strongly distance-dependent — on held-out
+    # synthetic2, negative distance ALONE scores edge AUC 0.73 vs the 0.53
+    # the latent-only head reaches (BASELINE.md).  Off = reference parity.
+    edge_from_coords: bool = False
     # coordinate-head output activation.  "auto" reproduces the reference:
     # sigmoid everywhere in the disentangled model (model.py:219) and in the
     # joint model except synthetic3/scene, which are linear

@@ -265,11 +265,28 @@ class DisentangledSNDVAE(nn.Module):
         x = self.decoder_node_bn(x.reshape(B * N, -1))
         node_feat = jax.nn.sigmoid(self.d_n_lin2(x)).reshape(B, N, -1)
 
+        # coordinate head (model.py:213-219) — decoded before the adjacency
+        # head so its output can feed the edge_from_coords channel
+        sp = jnp.concatenate([zsg, zs], axis=-1)
+        for conv, bn in zip(self.s_deconvs, self.d_bn_s):
+            sp = bn(conv(sp))
+        coords = apply_coord_activation(
+            cfg, self.d_s_lin2(sp.reshape(B * N, -1)), reference_linear=False
+        ).reshape(B, N, -1)
+
         # adjacency head (model.py:196-208); the [B,N,N,2C] pairwise map is
         # row-blocked on nodes under an ambient mesh (parallel/hints.py)
         t1 = jnp.broadcast_to(z_sg_g[:, :, None, :], (B, N, N, z_sg_g.shape[-1]))
         t2 = jnp.broadcast_to(z_sg_g[:, None, :, :], (B, N, N, z_sg_g.shape[-1]))
-        t = ops.shard_nodes(jnp.concatenate([t1, t2], axis=-1), tag="dec.pair")
+        parts = [t1, t2]
+        if dec.edge_from_coords:
+            # corrected mode: decoded-coordinate pairwise distances as an
+            # extra edge channel (spatial-network edges are distance-
+            # dependent; the reference's head is latent-only)
+            diff = coords[:, :, None, :] - coords[:, None, :, :]
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-8)
+            parts.append(dist.astype(t1.dtype))
+        t = ops.shard_nodes(jnp.concatenate(parts, axis=-1), tag="dec.pair")
         for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
             t = bn(t)
             t = e2e(jax.nn.relu(t))
@@ -282,14 +299,6 @@ class DisentangledSNDVAE(nn.Module):
         prob0 = off_diag * logits[..., 0] + (1.0 - off_diag)
         adj_prob = jnp.stack([prob0, prob1], axis=-1)
         adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
-
-        # coordinate head (model.py:213-219)
-        sp = jnp.concatenate([zsg, zs], axis=-1)
-        for conv, bn in zip(self.s_deconvs, self.d_bn_s):
-            sp = bn(conv(sp))
-        coords = apply_coord_activation(
-            cfg, self.d_s_lin2(sp.reshape(B * N, -1)), reference_linear=False
-        ).reshape(B, N, -1)
 
         return DecodedGraph(adj=adj, adj_prob=adj_prob, coords=coords, node_feat=node_feat)
 

@@ -170,7 +170,14 @@ class JointSNDVAE(nn.Module):
         # adjacency head (model_joint.py:164-179)
         t1 = jnp.broadcast_to(joint_h[:, :, None, :], (B, N, N, joint_h.shape[-1]))
         t2 = jnp.broadcast_to(joint_h[:, None, :, :], (B, N, N, joint_h.shape[-1]))
-        t = jnp.concatenate([t1, t2], axis=-1)
+        parts = [t1, t2]
+        if dec.edge_from_coords:
+            # corrected mode: decoded-coordinate distances as an edge channel
+            # (see DecoderConfig.edge_from_coords)
+            diff = coords[:, :, None, :] - coords[:, None, :, :]
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-8)
+            parts.append(dist.astype(t1.dtype))
+        t = jnp.concatenate(parts, axis=-1)
         for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
             t = bn(t)
             t = e2e(jax.nn.relu(t))

@@ -179,6 +179,34 @@ def test_pairing_skew_changes_sg_inputs(key):
     )
 
 
+@pytest.mark.parametrize("model_type", ["disentangled", "base"])
+def test_edge_from_coords_option(tiny_batch, key, model_type):
+    """Corrected-mode edge_from_coords feeds decoded-coordinate distances to
+    the adjacency head: same output shapes, different logits, default off
+    (reference parity — the reference head is latent-only, model.py:196-198)."""
+    cfg = tiny_cfg(model_type=model_type)
+    cfg_on = cfg.with_(decoder=cfg.decoder.__class__(
+        **{**cfg.decoder.__dict__, "edge_from_coords": True}
+    ))
+    model_on = build_model(cfg_on)
+    v = model_on.init(key, tiny_batch, key=key)
+    out_on = model_on.apply(v, tiny_batch, key=key, deterministic_z=True)
+    N = cfg.num_nodes
+    assert out_on.decoded.adj_prob.shape[:3] == (2, N, N)
+    total, _ = elbo_loss(
+        cfg_on, out_on, tiny_batch.adj, tiny_batch.features, tiny_batch.coords
+    )
+    assert np.isfinite(float(total))
+    # the extra channel changes the head's parameter shapes vs parity mode
+    model_off = build_model(cfg)
+    v_off = model_off.init(key, tiny_batch, key=key)
+    p_on = jax.tree.leaves(v["params"])
+    p_off = jax.tree.leaves(v_off["params"])
+    assert any(
+        a.shape != b.shape for a, b in zip(p_on, p_off)
+    )
+
+
 @pytest.mark.parametrize(
     "mt", ["disentangled", "disentangled_C", "NED-VAE-IP", "beta-TCVAE"]
 )
