@@ -43,11 +43,25 @@ WORK_ROOT = os.environ.get("SND_SWEEP_WORKDIR", "/tmp/snd_quality_sweep")
 
 
 def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
-         parity=True, lr=None, epochs=2000, efc=False):
+         parity=True, lr=None, epochs=2000, efc=False, latent=None,
+         model_type=None, gamma=None, c_max=None):
     cfg = synthetic2_preset(compute_dtype="bfloat16", parity=parity)
-    cfg = cfg.with_(loss=cfg.loss.__class__(
-        **{**cfg.loss.__dict__, "beta": beta, "use_weighted_bce": wbce}
-    ))
+    if model_type is not None:
+        cfg = cfg.with_(model_type=model_type)
+    loss_kw = {**cfg.loss.__dict__, "beta": beta, "use_weighted_bce": wbce}
+    if gamma is not None:
+        loss_kw["gamma"] = gamma
+    if c_max is not None:
+        loss_kw["c_max"] = c_max
+    cfg = cfg.with_(loss=cfg.loss.__class__(**loss_kw))
+    if latent is not None:
+        # judge-requested latent-size axis: scale all three branch latents
+        # (and the sg hidden, which feeds them) together
+        cfg = cfg.with_(encoder=cfg.encoder.__class__(
+            **{**cfg.encoder.__dict__,
+               "s_latent_size": latent, "g_latent_size": latent,
+               "sg_latent_size": latent}
+        ))
     if efc:
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
             **{**cfg.decoder.__dict__, "edge_from_coords": True}
@@ -85,6 +99,17 @@ CONFIGS = [
     _cfg("b0.1_wbce_efc_aug", beta=0.1, wbce=True, efc=True,
          resample=50, reshuffle=True),
     _cfg("b0.03_wbce_efc", beta=0.03, wbce=True, efc=True),
+    # latent-size axis (VERDICT item 5 names it explicitly)
+    _cfg("b0.1_wbce_lat20", beta=0.1, wbce=True, latent=20),
+    _cfg("b0.1_wbce_lat300", beta=0.1, wbce=True, latent=300),
+    _cfg("b0.1_wbce_efc_lat20", beta=0.1, wbce=True, efc=True, latent=20),
+    # capacity-annealed KL (disentangled_C) at a tuned gamma — the reference
+    # default gamma=100 swamps the ~0.4 recon term (BASELINE.md family table)
+    _cfg("cap_g4_wbce", model_type="disentangled_C", gamma=4.0, c_max=25.0,
+         wbce=True),
+    # live BN + efc: the distance channel rides BN; frozen init-stats BN
+    # (parity) can mis-scale it
+    _cfg("b0.1_wbce_efc_livebn", beta=0.1, wbce=True, efc=True, parity=False),
 ]
 
 
@@ -112,8 +137,11 @@ def run_one(name, cfg):
     gen = cli.run_test_generation(cfg, workdir, num_generate=100)
     row = {
         "name": name,
+        "model_type": cfg.model_type,
         "beta": cfg.loss.beta,
         "wbce": cfg.loss.use_weighted_bce,
+        "efc": cfg.decoder.edge_from_coords,
+        "latent": cfg.encoder.sg_latent_size,
         "parity": cfg.parity,
         "resample": cfg.train.resample_trees_every,
         "reshuffle": cfg.train.reshuffle,
