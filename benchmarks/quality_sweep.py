@@ -43,8 +43,8 @@ WORK_ROOT = os.environ.get("SND_SWEEP_WORKDIR", "/tmp/snd_quality_sweep")
 
 
 def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
-         parity=True, lr=None, epochs=2000, efc=False, latent=None,
-         model_type=None, gamma=None, c_max=None):
+         parity=True, lr=None, epochs=2000, efc=False, efc_sg=False,
+         latent=None, model_type=None, gamma=None, c_max=None):
     cfg = synthetic2_preset(compute_dtype="bfloat16", parity=parity)
     if model_type is not None:
         cfg = cfg.with_(model_type=model_type)
@@ -64,7 +64,8 @@ def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
         ))
     if efc:
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
-            **{**cfg.decoder.__dict__, "edge_from_coords": True}
+            **{**cfg.decoder.__dict__, "edge_from_coords": True,
+               "efc_stop_grad": efc_sg}
         ))
     tr = dict(cfg.train.__dict__)
     tr.update(
@@ -110,6 +111,11 @@ CONFIGS = [
     # live BN + efc: the distance channel rides BN; frozen init-stats BN
     # (parity) can mis-scale it
     _cfg("b0.1_wbce_efc_livebn", beta=0.1, wbce=True, efc=True, parity=False),
+    # stop-gradient distance channel: coordinates trained by spatial MSE
+    # alone (efc gradient coupling costs held-out spatial MSE — 0.024 with
+    # coupled efc vs 0.013 without at beta=0.03)
+    _cfg("b0.1_wbce_efc_sg", beta=0.1, wbce=True, efc=True, efc_sg=True),
+    _cfg("b0.03_wbce_efc_sg", beta=0.03, wbce=True, efc=True, efc_sg=True),
 ]
 
 

@@ -65,6 +65,13 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(mesh=cfg.mesh.__class__(data=args.dp, model=args.tp))
     if getattr(args, "pairing_skew", False):
         cfg = cfg.with_(reproduce_pairing_skew=True)
+    if getattr(args, "quality", False):
+        # applied before the explicit knobs below so e.g. --beta still wins
+        cfg = cfg_mod.apply_quality_overrides(cfg)
+        if args.beta is not None:
+            cfg = cfg.with_(loss=cfg.loss.__class__(
+                **{**cfg.loss.__dict__, "beta": args.beta}
+            ))
     return cfg
 
 
@@ -278,6 +285,11 @@ def main(argv=None):
     p.add_argument("--beta", type=float, default=None)
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--workdir", default=".")
+    p.add_argument("--quality", action="store_true",
+                   help="apply the recommended quality operating point "
+                        "(beta=0.1, weighted-BCE edge loss, edge-from-coords "
+                        "distance channel, bf16 — BASELINE.md quality sweep); "
+                        "explicit flags like --beta still override")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 master params and ELBO)")
     p.add_argument("--use-pallas", action="store_true", dest="use_pallas",

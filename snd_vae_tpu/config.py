@@ -99,6 +99,14 @@ class DecoderConfig:
     # synthetic2, negative distance ALONE scores edge AUC 0.73 vs the 0.53
     # the latent-only head reaches (BASELINE.md).  Off = reference parity.
     edge_from_coords: bool = False
+    # with edge_from_coords: stop the adjacency loss's gradient at the
+    # distance channel, so the coordinate head is trained by the spatial MSE
+    # alone and the edge head merely *consumes* the decoded geometry.  The
+    # coupled default lets the edge loss pull on the coordinates, which
+    # measurably degrades held-out spatial MSE (quality sweep: 0.024 with
+    # efc vs 0.013 without at beta=0.03) and thereby the distance channel's
+    # own signal.
+    efc_stop_grad: bool = False
     # coordinate-head output activation.  "auto" reproduces the reference:
     # sigmoid everywhere in the disentangled model (model.py:219) and in the
     # joint model except synthetic3/scene, which are linear
@@ -350,3 +358,23 @@ def preset(dataset: str, **overrides) -> Config:
         return PRESETS[dataset](**overrides)
     except KeyError:
         raise ValueError(f"no preset for dataset {dataset!r}; known: {list(PRESETS)}")
+
+
+def apply_quality_overrides(cfg: Config) -> Config:
+    """The recommended quality operating point (BASELINE.md "quality sweep",
+    2026-08-17; ``snd-vae --quality``).
+
+    The 23-config sweep on synthetic2 (benchmarks/quality_sweep.py) found
+    beta=0.1 + weighted-BCE edge loss + the edge_from_coords distance channel
+    the best all-rounder: held-out edge AUC 0.53 -> 0.584, F1 0.117 -> 0.181
+    vs the reference hyperparameters, with all three generation MMDs also
+    better than beta=1 (degree 0.029 vs 0.039, clustering 0.071 vs 0.075,
+    edge-length 0.289 vs 0.701).  All three levers are corrected-mode
+    capabilities the reference computes-but-drops (pos_weight/norm,
+    main.py:246-247) or lacks (distance-aware edge head).
+    """
+    return cfg.with_(
+        loss=replace(cfg.loss, beta=0.1, use_weighted_bce=True),
+        decoder=replace(cfg.decoder, edge_from_coords=True),
+        compute_dtype="bfloat16",
+    )

@@ -39,6 +39,7 @@ from ..data.graphbatch import GraphBatch
 from .. import nn as ops
 from .outputs import (
     DecodedGraph, Latents, LatentStats, ModelOutput, apply_coord_activation,
+    edge_distance_channel,
 )
 
 
@@ -283,9 +284,7 @@ class DisentangledSNDVAE(nn.Module):
             # corrected mode: decoded-coordinate pairwise distances as an
             # extra edge channel (spatial-network edges are distance-
             # dependent; the reference's head is latent-only)
-            diff = coords[:, :, None, :] - coords[:, None, :, :]
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-8)
-            parts.append(dist.astype(t1.dtype))
+            parts.append(edge_distance_channel(cfg, coords, t1.dtype))
         t = ops.shard_nodes(jnp.concatenate(parts, axis=-1), tag="dec.pair")
         for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
             t = bn(t)

@@ -28,6 +28,7 @@ from ..data.graphbatch import GraphBatch
 from .. import nn as ops
 from .outputs import (
     DecodedGraph, Latents, LatentStats, ModelOutput, apply_coord_activation,
+    edge_distance_channel,
 )
 
 
@@ -174,9 +175,7 @@ class JointSNDVAE(nn.Module):
         if dec.edge_from_coords:
             # corrected mode: decoded-coordinate distances as an edge channel
             # (see DecoderConfig.edge_from_coords)
-            diff = coords[:, :, None, :] - coords[:, None, :, :]
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-8)
-            parts.append(dist.astype(t1.dtype))
+            parts.append(edge_distance_channel(cfg, coords, t1.dtype))
         t = jnp.concatenate(parts, axis=-1)
         for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
             t = bn(t)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from flax import struct
 
 
@@ -62,3 +63,19 @@ def apply_coord_activation(cfg, raw: jax.Array, reference_linear: bool) -> jax.A
     mode = cfg.decoder.coord_activation
     linear = reference_linear if mode == "auto" else (mode == "linear")
     return raw if linear else jax.nn.sigmoid(raw)
+
+
+def edge_distance_channel(cfg, coords: jax.Array, dtype) -> jax.Array:
+    """Decoded-coordinate pairwise distances as a [B,N,N,1] edge channel
+    (DecoderConfig.edge_from_coords, corrected mode; no reference analog —
+    the reference's edge head sees only latent tiles, model.py:196-198).
+
+    With ``efc_stop_grad`` the adjacency loss cannot pull on the coordinate
+    head through this channel: the coordinates stay trained by the spatial
+    MSE alone and the edge head merely consumes the decoded geometry.
+    """
+    if cfg.decoder.efc_stop_grad:
+        coords = jax.lax.stop_gradient(coords)
+    diff = coords[:, :, None, :] - coords[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-8)
+    return dist.astype(dtype)

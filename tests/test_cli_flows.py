@@ -89,6 +89,33 @@ def test_base_model_flow(tmp_path):
     assert os.path.exists(path)
 
 
+def test_quality_flag_builds_recommended_config():
+    """--quality applies the sweep-recommended operating point (BASELINE.md
+    quality sweep: beta=0.1 + weighted BCE + edge_from_coords + bf16), and
+    an explicit --beta still wins over the bundle."""
+    from types import SimpleNamespace
+
+    def ns(**kw):
+        base = dict(dataset="synthetic2", model_type=None, epochs=None,
+                    dataset_path=None, beta=None)
+        base.update(kw)
+        return SimpleNamespace(**base)
+    cfg = cli._build_cfg(ns(quality=True))
+    assert cfg.loss.beta == 0.1
+    assert cfg.loss.use_weighted_bce
+    assert cfg.decoder.edge_from_coords
+    assert not cfg.decoder.efc_stop_grad   # coupled efc won the sweep
+    assert cfg.compute_dtype == "bfloat16"
+
+    cfg = cli._build_cfg(ns(quality=True, beta=0.5))
+    assert cfg.loss.beta == 0.5            # explicit flag overrides bundle
+    assert cfg.loss.use_weighted_bce
+
+    cfg = cli._build_cfg(ns())
+    assert cfg.loss.beta == 1.0            # default untouched
+    assert not cfg.decoder.edge_from_coords
+
+
 def test_synthetic3_base_flow(tmp_path):
     """synthetic3 is selectable end-to-end; under the joint model its
     coordinate head is linear (model_joint.py:118-121), so decoded coords

@@ -207,6 +207,47 @@ def test_edge_from_coords_option(tiny_batch, key, model_type):
     )
 
 
+@pytest.mark.parametrize("model_type", ["disentangled", "base"])
+def test_efc_stop_grad(tiny_batch, key, model_type):
+    """efc_stop_grad blocks the adjacency head's gradient into the
+    coordinate head (same forward, but an adjacency-only loss no longer
+    reaches the coordinate head's params — DecoderConfig.efc_stop_grad)."""
+    cfg = tiny_cfg(model_type=model_type)
+    mk = lambda sg: cfg.with_(decoder=cfg.decoder.__class__(
+        **{**cfg.decoder.__dict__, "edge_from_coords": True,
+           "efc_stop_grad": sg}
+    ))
+    cfg_coupled, cfg_sg = mk(False), mk(True)
+    model_c, model_s = build_model(cfg_coupled), build_model(cfg_sg)
+    v = model_c.init(key, tiny_batch, key=key)
+
+    # decode from prior z (at init the posterior mean is ~0, putting every
+    # sigmoid coordinate at exactly 0.5 — all pairwise diffs vanish and the
+    # distance gradient is legitimately zero there; random z breaks the tie)
+    out_c = model_c.apply(v, tiny_batch, key=key, sample_prior=True)
+    out_s = model_s.apply(v, tiny_batch, key=key, sample_prior=True)
+    # identical forward pass — stop_gradient is a no-op on values
+    np.testing.assert_array_equal(
+        np.asarray(out_c.decoded.adj_prob), np.asarray(out_s.decoded.adj_prob)
+    )
+
+    # adjacency-only loss: grad into the coordinate head's final dense
+    def adj_loss(model):
+        def f(params):
+            out = model.apply(
+                {**v, "params": params}, tiny_batch, key=key,
+                sample_prior=True,
+            )
+            return jnp.sum(out.decoded.adj_prob ** 2)
+        return jax.grad(f)(v["params"])
+
+    g_c, g_s = adj_loss(model_c), adj_loss(model_s)
+    gc = np.asarray(g_c["d_s_lin2"]["kernel"])
+    gs = np.asarray(g_s["d_s_lin2"]["kernel"])
+    assert np.abs(gc).max() > 0          # coupled: edge loss pulls on coords
+    np.testing.assert_array_equal(gs, np.zeros_like(gs))  # stopped: it can't
+
+
 @pytest.mark.parametrize(
     "mt", ["disentangled", "disentangled_C", "NED-VAE-IP", "beta-TCVAE"]
 )
