@@ -35,17 +35,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from snd_vae_tpu.config import synthetic2_preset
+from snd_vae_tpu.config import preset as dataset_preset
 from snd_vae_tpu.utils.compile_cache import enable_compilation_cache
 
 RESULTS = os.path.join(os.path.dirname(__file__), "quality_sweep_results.jsonl")
 WORK_ROOT = os.environ.get("SND_SWEEP_WORKDIR", "/tmp/snd_quality_sweep")
 
 
-def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
-         parity=True, lr=None, epochs=2000, efc=False, efc_sg=False,
-         latent=None, model_type=None, gamma=None, c_max=None):
-    cfg = synthetic2_preset(compute_dtype="bfloat16", parity=parity)
+def _cfg(name: str, *, dataset="synthetic2", beta=1.0, wbce=False, resample=0,
+         reshuffle=False, parity=True, lr=None, epochs=2000, efc=False,
+         efc_sg=False, latent=None, model_type=None, gamma=None, c_max=None,
+         coord_activation=None):
+    cfg = dataset_preset(dataset, compute_dtype="bfloat16", parity=parity)
     if model_type is not None:
         cfg = cfg.with_(model_type=model_type)
     loss_kw = {**cfg.loss.__dict__, "beta": beta, "use_weighted_bce": wbce}
@@ -62,10 +63,14 @@ def _cfg(name: str, *, beta=1.0, wbce=False, resample=0, reshuffle=False,
                "s_latent_size": latent, "g_latent_size": latent,
                "sg_latent_size": latent}
         ))
+    dec_kw = {}
     if efc:
+        dec_kw.update(edge_from_coords=True, efc_stop_grad=efc_sg)
+    if coord_activation is not None:
+        dec_kw.update(coord_activation=coord_activation)
+    if dec_kw:
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
-            **{**cfg.decoder.__dict__, "edge_from_coords": True,
-               "efc_stop_grad": efc_sg}
+            **{**cfg.decoder.__dict__, **dec_kw}
         ))
     tr = dict(cfg.train.__dict__)
     tr.update(
@@ -116,6 +121,16 @@ CONFIGS = [
     # coupled efc vs 0.013 without at beta=0.03)
     _cfg("b0.1_wbce_efc_sg", beta=0.1, wbce=True, efc=True, efc_sg=True),
     _cfg("b0.03_wbce_efc_sg", beta=0.03, wbce=True, efc=True, efc_sg=True),
+    # does the recommended point generalize?  protein: contact-map edges are
+    # genuinely distance-dependent, and the raw-angstrom coordinates need the
+    # corrected-mode linear head (BASELINE.md "mnist caveats": 60-epoch loss
+    # 102 -> 22 with linear coords).  600 epochs — the fourth-order conv is
+    # ~25x the synthetic2 step cost.
+    _cfg("prot_base", dataset="protein", epochs=600),
+    _cfg("prot_lincoord", dataset="protein", epochs=600,
+         coord_activation="linear"),
+    _cfg("prot_quality", dataset="protein", epochs=600, beta=0.1, wbce=True,
+         efc=True, coord_activation="linear"),
 ]
 
 
@@ -143,6 +158,7 @@ def run_one(name, cfg):
     gen = cli.run_test_generation(cfg, workdir, num_generate=100)
     row = {
         "name": name,
+        "dataset": cfg.dataset,
         "model_type": cfg.model_type,
         "beta": cfg.loss.beta,
         "wbce": cfg.loss.use_weighted_bce,

@@ -215,10 +215,13 @@ class Config:
     # compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity)
     compute_dtype: str = "float32"
     # allow the fused Pallas motif kernel (TPU only).  The kernel is only
-    # engaged at num_nodes >= pallas_min_nodes: XLA's fused einsum lowering
-    # wins at the reference operating point (N=25: 8525 vs 2005 graphs/s,
-    # BASELINE.md "Pallas"), so small-N models auto-fall back even when the
-    # flag is set.  Set pallas_min_nodes=0 to force the kernel everywhere.
+    # engaged at num_nodes >= pallas_min_nodes.  Measured end-to-end, XLA's
+    # fused einsum lowering wins at EVERY shape tried — N=25: 8525 vs 2005
+    # graphs/s; N=256/512 full train step: ~7% faster than the kernel
+    # (BASELINE.md "Pallas") — because the kernel pads the narrow hidden
+    # width to the 128-lane tile.  The flag is an experimentation surface
+    # (and the kernel the building block of the node-sharded path); the
+    # recommended setting is the default (off).
     use_pallas: bool = False
     pallas_min_nodes: int = 256
 

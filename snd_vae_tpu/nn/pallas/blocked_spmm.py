@@ -146,28 +146,39 @@ def adj_matmul_reference(adj: jnp.ndarray, x: jnp.ndarray, leak: Optional[float]
 # Fused third-order motif combine
 # ---------------------------------------------------------------------------
 
-def _motif_kernel(adj_ref, f_ref, a_ref, d_ref, v_ref, deg_ref, o_ref, *, bi: int):
+def _motif_kernel(adj_ref, rows_ref, f_ref, a_ref, d_ref, v_ref, deg_ref,
+                  o_ref, *, bi: int):
     """One i-tile (full j range) of the motif combine.
 
     Block shapes (leading singleton batch axis dropped via [0]):
-      adj_ref [1, N, N]    full adjacency
-      f_ref   [1, bi, N, h] f[i,k,:] for the i-tile
-      a_ref   [1, bi, h]   a'[i] = a[i] + bias
-      d_ref   [1, bi, N, h] d[i,j,:]
-      v_ref   [1, N, h]    v[j]
-      deg_ref [1, N, 1]    deg[j] (kept 2D for VMEM layout)
-      o_ref   [1, bi, N, h]
+      adj_ref  [1, N, N]    full adjacency
+      rows_ref [1, bi, N]   the SAME adjacency, blocked along i — the i-tile's
+                            mask rows A[i, :] with a static in-block index
+                            (a dynamic row slice of adj_ref fails Mosaic
+                            lowering at bf16: "cannot statically prove that
+                            index ... is a multiple of 8")
+      f_ref    [1, bi, N, h] f[i,k,:] for the i-tile
+      a_ref    [1, bi, h]   a'[i] = a[i] + bias
+      d_ref    [1, bi, N, h] d[i,j,:]
+      v_ref    [1, N, h]    v[j]
+      deg_ref  [1, N, 1]    deg[j] (kept 2D for VMEM layout)
+      o_ref    [1, bi, N, h]
     """
-    adj = adj_ref[0]            # [N, N]
-    v = v_ref[0]                # [N, h]
-    deg = deg_ref[0]            # [N, 1]
+    # accumulate in f32 regardless of the input dtype: better numerics, and
+    # Mosaic cannot lower the row-vector [N] -> [N,1] reshape below for
+    # 16-bit types ("insertion of minor dim ... only supported for 32-bit
+    # types" at bf16 — hit at N=256 on v5e)
+    adj = adj_ref[0]                                 # [N, N] (input dtype)
+    v = v_ref[0].astype(jnp.float32)                 # [N, h]
+    deg = deg_ref[0].astype(jnp.float32)             # [N, 1]
     for ii in range(bi):        # static unroll over the i-tile
         # wf[j, h] = Σ_k A[j,k] · f[i,k,h]
         wf = jnp.dot(adj, f_ref[0, ii], preferred_element_type=jnp.float32)
-        combine = deg * (a_ref[0, ii][None, :] + d_ref[0, ii]) + v + wf
-        # mask by the i-th adjacency row A[i, j]
-        row = adj_ref[0, pl.program_id(1) * bi + ii, :]          # [N]
-        o_ref[0, ii] = (row[:, None] * combine).astype(o_ref.dtype)
+        a_d = (a_ref[0, ii][None, :] + d_ref[0, ii]).astype(jnp.float32)
+        combine = deg * a_d + v + wf
+        # mask by the i-th adjacency row A[i, j] (static index ii)
+        row = rows_ref[0, ii, :].astype(jnp.float32)[:, None]
+        o_ref[0, ii] = (row * combine).astype(o_ref.dtype)
 
 
 def _auto_interpret() -> bool:
@@ -212,6 +223,9 @@ def fused_motif_combine(
         grid=(B, NI // block_i),
         in_specs=[
             pl.BlockSpec((1, N, N), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            # the same adjacency again, blocked along i: the i-tile's mask rows
+            pl.BlockSpec((1, block_i, N), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_i, N, H), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_i, H), lambda b, i: (b, i, 0),
@@ -230,7 +244,7 @@ def fused_motif_combine(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_p, f_p, ai_p, d_p, v_p, deg)
+    )(a_p, a_p, f_p, ai_p, d_p, v_p, deg)
     return out[:, :N0, :N0, :h0]
 
 
