@@ -65,6 +65,8 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(mesh=cfg.mesh.__class__(data=args.dp, model=args.tp))
     if getattr(args, "pairing_skew", False):
         cfg = cfg.with_(reproduce_pairing_skew=True)
+    if getattr(args, "normalize_coords", False):
+        cfg = cfg.with_(normalize_coords=True)
     if getattr(args, "quality", False):
         # applied before the explicit knobs below so e.g. --beta still wins
         cfg = cfg_mod.apply_quality_overrides(cfg)
@@ -303,6 +305,12 @@ def main(argv=None):
                    help="reproduce the reference's spanning-tree/feature "
                         "tile-skew pairing (main.py:307-309 vs :132) for "
                         "data-pipeline parity runs")
+    p.add_argument("--normalize-coords", action="store_true",
+                   dest="normalize_coords",
+                   help="affinely map coordinates to the unit box using the "
+                        "train split's bounds (corrected-mode fix for raw "
+                        "protein/mnist coordinate scales; metrics are then "
+                        "in normalized units)")
     p.add_argument("--coord-activation", default="auto", dest="coord_activation",
                    choices=["auto", "linear", "sigmoid"],
                    help="coordinate-head activation; 'linear' is the "

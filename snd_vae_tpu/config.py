@@ -214,6 +214,17 @@ class Config:
     reproduce_pairing_skew: bool = False
     # compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity)
     compute_dtype: str = "float32"
+    # corrected-mode data option: affinely map coordinates into the unit box
+    # using the TRAIN split's scalar min/max (rel distances are divided by
+    # the same scale; eval splits reuse the train bounds so both live in one
+    # normalized frame).  The reference feeds raw coordinate scales for
+    # protein (angstroms, input_data.py:155) and mnist (+10 shift,
+    # input_data.py:300) into sigmoid-bounded heads — unreachable targets
+    # that leave huge irreducible spatial MSE, destabilize bf16 (BASELINE.md
+    # "mnist caveats"), and reduce the efc distance channel to noise.  All
+    # metrics/artifacts are then in normalized units; use
+    # ``data.loaders.train_coord_bounds(cfg)`` to denormalize.
+    normalize_coords: bool = False
     # allow the fused Pallas motif kernel (TPU only).  The kernel is only
     # engaged at num_nodes >= pallas_min_nodes.  Measured end-to-end, XLA's
     # fused einsum lowering wins at EVERY shape tried — N=25: 8525 vs 2005
@@ -376,8 +387,16 @@ def apply_quality_overrides(cfg: Config) -> Config:
     capabilities the reference computes-but-drops (pos_weight/norm,
     main.py:246-247) or lacks (distance-aware edge head).
     """
-    return cfg.with_(
+    cfg = cfg.with_(
         loss=replace(cfg.loss, beta=0.1, use_weighted_bce=True),
         decoder=replace(cfg.decoder, edge_from_coords=True),
         compute_dtype="bfloat16",
     )
+    # Raw-coordinate-scale datasets (protein angstroms, mnist's +10 shift):
+    # without normalization the sigmoid coordinate head faces unreachable
+    # targets, bf16 KLs diverge, and the efc distance channel rides pure
+    # noise (every protein config scored held-out edge AUC ~0.50 before
+    # normalization — BASELINE.md "protein quality").
+    if cfg.dataset in ("protein", "mnist"):
+        cfg = cfg.with_(normalize_coords=True)
+    return cfg

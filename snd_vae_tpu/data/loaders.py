@@ -304,7 +304,39 @@ def load_dataset(cfg: Config, split: str = "train", num_graphs: Optional[int] = 
     Mirrors the per-dataset dispatch at main.py:128-241 but returns one
     pytree; spanning-tree samples are paired with their own graph unless
     ``cfg.reproduce_pairing_skew`` requests the reference's tile-skew.
+    With ``cfg.normalize_coords`` the coordinates (and rel distances) are
+    affinely mapped into the unit box using the train split's bounds.
     """
+    batch = _load_raw_dataset(cfg, split, num_graphs)
+    if cfg.normalize_coords:
+        lo, hi = train_coord_bounds(cfg)
+        scale = max(hi - lo, 1e-9)
+        batch = batch.replace(
+            coords=(batch.coords - lo) / scale,
+            rel=batch.rel / scale,
+            rel_samples=None if batch.rel_samples is None else batch.rel_samples / scale,
+        )
+    return batch
+
+
+_BOUNDS_CACHE: dict = {}
+
+
+def train_coord_bounds(cfg: Config) -> Tuple[float, float]:
+    """Scalar (lo, hi) bounds of the train split's RAW coordinates — the
+    affine map applied by ``Config.normalize_coords`` (x -> (x-lo)/(hi-lo)).
+    Eval splits reuse these train bounds so decoded coordinates and eval
+    targets share one normalized frame; invert to recover raw units."""
+    key = (cfg.dataset, cfg.dataset_path, cfg.train.seed, cfg.num_nodes,
+           cfg.sampling_num)
+    if key not in _BOUNDS_CACHE:
+        raw = _load_raw_dataset(cfg, "train", None)
+        c = np.asarray(raw.coords)
+        _BOUNDS_CACHE[key] = (float(c.min()), float(c.max()))
+    return _BOUNDS_CACHE[key]
+
+
+def _load_raw_dataset(cfg: Config, split: str = "train", num_graphs: Optional[int] = None) -> GraphBatch:
     n_fallback = num_graphs or 200
     seed = cfg.train.seed
 

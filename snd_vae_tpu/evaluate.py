@@ -142,16 +142,28 @@ def generation_evaluation(
         for a in adj
     ])
     G = min(len(gen_adj), len(gen_spatial))
+    Gr = min(len(adj), len(spatial))
+    spatial = np.asarray(spatial)
+    gen_spatial = np.asarray(gen_spatial)
+    # Histogram range: sqrt(D) covers a unit coordinate box (the synthetic
+    # datasets), but raw-scale coordinates (protein angstroms, mnist's +10
+    # shift) have edge lengths far beyond it — an out-of-range density
+    # histogram is all-zero and normalizes to NaN.  Take the upper bound
+    # from the reference graphs' actual edge lengths, floored at sqrt(D) so
+    # unit-box datasets keep their historical binning.
+    ref_lengths = [_edge_lengths(adj[i], spatial[i]) for i in range(Gr)]
+    el_hi = max(
+        float(np.sqrt(spatial.shape[-1])),
+        max((float(l.max()) for l in ref_lengths), default=0.0),
+    )
     el_g = np.stack([
-        np.histogram(_edge_lengths(gen_adj[i], np.asarray(gen_spatial)[i]),
-                     bins=10, range=(0, np.sqrt(gen_spatial.shape[-1])), density=True)[0]
+        np.histogram(np.minimum(_edge_lengths(gen_adj[i], gen_spatial[i]), el_hi),
+                     bins=10, range=(0, el_hi), density=True)[0]
         for i in range(G)
     ])
-    Gr = min(len(adj), len(spatial))
     el_r = np.stack([
-        np.histogram(_edge_lengths(adj[i], np.asarray(spatial)[i]),
-                     bins=10, range=(0, np.sqrt(np.asarray(spatial).shape[-1])), density=True)[0]
-        for i in range(Gr)
+        np.histogram(l, bins=10, range=(0, el_hi), density=True)[0]
+        for l in ref_lengths
     ])
 
     return {

@@ -155,6 +155,36 @@ def test_load_dataset_synthetic_fallback():
     assert float(batch.coords.max()) <= 1.0 + 1e-6
 
 
+def test_normalize_coords_protein():
+    """normalize_coords maps raw angstrom-scale coordinates into the unit
+    box using TRAIN-split bounds, scaling rel distances consistently, and
+    applies the same affine map to the test split."""
+    import numpy as np
+
+    from snd_vae_tpu.data.loaders import train_coord_bounds
+
+    cfg = preset("protein").with_(sampling_num=2, normalize_coords=True)
+    raw_cfg = cfg.with_(normalize_coords=False)
+    raw = load_dataset(raw_cfg, "train", num_graphs=8)
+    assert float(raw.coords.max()) > 2.0  # genuinely raw-scale
+    batch = load_dataset(cfg, "train", num_graphs=8)
+    assert 0.0 <= float(batch.coords.min()) and float(batch.coords.max()) <= 1.0
+    lo, hi = train_coord_bounds(cfg)
+    np.testing.assert_allclose(
+        np.asarray(batch.coords), (np.asarray(raw.coords) - lo) / (hi - lo),
+        rtol=1e-6,
+    )
+    # rel is divided by the same scale -> still the pairwise distance of the
+    # normalized coordinates
+    c = np.asarray(batch.coords)
+    d = np.linalg.norm(c[:, :, None] - c[:, None, :], axis=-1)
+    np.testing.assert_allclose(np.asarray(batch.rel)[..., 0], d, atol=1e-5)
+    # test split shares the train affine map (same lo/hi), so values can
+    # exceed [0,1] slightly but stay near it
+    test = load_dataset(cfg, "test", num_graphs=8)
+    assert float(test.coords.max()) < 1.5 and float(test.coords.min()) > -0.5
+
+
 def test_pairing_skew_matches_reference_tile():
     """``reproduce_pairing_skew`` must reproduce the reference's feed stream
     exactly: adjacency samples flattened tree-major (main.py:132) while

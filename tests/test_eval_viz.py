@@ -64,6 +64,27 @@ def test_generation_evaluation_keys():
     assert r["degree_mmd"] < 1.0
 
 
+def test_generation_evaluation_raw_scale_coords():
+    """Regression: raw-scale coordinates (protein angstroms, mnist's +10
+    shift) have edge lengths beyond sqrt(D); the fixed range=(0, sqrt(D))
+    binning produced an all-zero density histogram and NaN edge_length_mmd."""
+    a = generate_synthetic(5, num_nodes=8, seed=1)
+    b = generate_synthetic(5, num_nodes=8, seed=2)
+    for scale, shift in ((20.0, 0.0), (1.0, 10.0)):
+        r = generation_evaluation(
+            a["adj"], a["node"], a["geometry"] / 600 * scale + shift,
+            b["adj"], b["node"], b["geometry"] / 600 * scale + shift,
+        )
+        assert np.isfinite(r["edge_length_mmd"]), (scale, shift)
+        assert r["edge_length_mmd"] < 1.0
+    # unit-box binning unchanged: same-family sets stay close
+    r = generation_evaluation(
+        a["adj"], a["node"], a["geometry"] / 600,
+        b["adj"], b["node"], b["geometry"] / 600,
+    )
+    assert np.isfinite(r["edge_length_mmd"])
+
+
 def test_disentangle_evaluation_perfect_alignment(rng):
     """If one latent dim IS the factor, max-corr must be ~1."""
     f = rng.standard_normal((200, 2))
