@@ -45,8 +45,10 @@ WORK_ROOT = os.environ.get("SND_SWEEP_WORKDIR", "/tmp/snd_quality_sweep")
 def _cfg(name: str, *, dataset="synthetic2", beta=1.0, wbce=False, resample=0,
          reshuffle=False, parity=True, lr=None, epochs=2000, efc=False,
          efc_sg=False, latent=None, model_type=None, gamma=None, c_max=None,
-         coord_activation=None):
-    cfg = dataset_preset(dataset, compute_dtype="bfloat16", parity=parity)
+         coord_activation=None, normalize=False, dtype="bfloat16"):
+    cfg = dataset_preset(dataset, compute_dtype=dtype, parity=parity)
+    if normalize:
+        cfg = cfg.with_(normalize_coords=True)
     if model_type is not None:
         cfg = cfg.with_(model_type=model_type)
     loss_kw = {**cfg.loss.__dict__, "beta": beta, "use_weighted_bce": wbce}
@@ -131,6 +133,20 @@ CONFIGS = [
          coord_activation="linear"),
     _cfg("prot_quality", dataset="protein", epochs=600, beta=0.1, wbce=True,
          efc=True, coord_activation="linear"),
+    # normalize_coords (post-fix): raw angstroms mapped to the unit box so
+    # the sigmoid head's targets are reachable, rel distances are unit-scale
+    # for the efc channel, and bf16 KLs stay finite.  prot_base/prot_quality
+    # above are the pre-fix ablation (AUC ~0.50, NaN edge-length MMD).
+    _cfg("prot_norm", dataset="protein", epochs=600, normalize=True),
+    _cfg("prot_norm_quality", dataset="protein", epochs=600, beta=0.1,
+         wbce=True, efc=True, normalize=True),
+    # mnist: the +10 coordinate shift made bf16 KLs diverge (BASELINE.md
+    # "mnist caveats" — f32 was required).  With unit-box coordinates bf16
+    # should hold; mnist_norm is the stability probe (300 epochs ~ the
+    # reference's checkpoint cadence scale).
+    _cfg("mnist_norm", dataset="mnist", epochs=300, normalize=True),
+    _cfg("mnist_norm_quality", dataset="mnist", epochs=300, beta=0.1,
+         wbce=True, efc=True, normalize=True),
 ]
 
 
@@ -165,6 +181,7 @@ def run_one(name, cfg):
         "efc": cfg.decoder.edge_from_coords,
         "latent": cfg.encoder.sg_latent_size,
         "parity": cfg.parity,
+        "normalize": cfg.normalize_coords,
         "resample": cfg.train.resample_trees_every,
         "reshuffle": cfg.train.reshuffle,
         "lr": cfg.train.learning_rate,
