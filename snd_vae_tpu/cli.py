@@ -45,6 +45,10 @@ def _build_cfg(args) -> Config:
         train_over["epochs"] = args.epochs
     if getattr(args, "resample_trees_every", 0):
         train_over["resample_trees_every"] = args.resample_trees_every
+    if getattr(args, "eval_every", 0):
+        train_over["eval_every"] = args.eval_every
+    if getattr(args, "best_metric", None):
+        train_over["best_metric"] = args.best_metric
     if train_over:
         over["train"] = cfg.train.__class__(**{**cfg.train.__dict__, **train_over})
     if args.dataset_path:
@@ -91,7 +95,11 @@ def run_train(
         from .parallel import mesh as pmesh
 
         mesh = pmesh.mesh_from_config(cfg.mesh)
-    trainer = Trainer(cfg, batch, mesh=mesh, workdir=workdir)
+    eval_batch = (
+        loaders.load_dataset(cfg, "test") if cfg.train.eval_every > 0 else None
+    )
+    trainer = Trainer(cfg, batch, mesh=mesh, workdir=workdir,
+                      eval_batch=eval_batch)
     profile_dir = os.path.join(workdir, "profile") if profile else None
     return trainer.run(epochs=epochs, per_step=per_step, profile_dir=profile_dir,
                        epoch_chunk=epoch_chunk)
@@ -315,6 +323,15 @@ def main(argv=None):
                    choices=["auto", "linear", "sigmoid"],
                    help="coordinate-head activation; 'linear' is the "
                         "corrected-mode fix for mnist's +10-shifted coords")
+    p.add_argument("--eval-every", type=int, default=0, dest="eval_every",
+                   help="score the held-out split every k epochs during "
+                        "training and keep the best checkpoint by "
+                        "--best-metric (0 = reference behavior: no "
+                        "in-training eval, main.py:283-356)")
+    p.add_argument("--best-metric", default=None, dest="best_metric",
+                   help="held-out metric watched for best-checkpoint "
+                        "tracking (default edge_auc; prefix '-' to "
+                        "minimize, e.g. -spatial_mse)")
     p.add_argument("--per-step", action="store_true", dest="per_step",
                    help="per-batch dispatch instead of the epoch scan")
     p.add_argument("--profile", action="store_true",

@@ -165,6 +165,17 @@ class TrainConfig:
     # dispatches over ~60 s reproducibly crash the tunneled TPU worker —
     # BASELINE.md "mnist caveats").  <=0 disables the guard.
     max_dispatch_s: float = 45.0
+    # held-out evaluation cadence in epochs (0 = off).  The reference never
+    # evaluates during training — metrics only exist as separate
+    # test_reconstruct runs against epoch-100-multiple checkpoints
+    # (main.py:283-356 vs 374-426), so parity is 0.  When >0 the Trainer
+    # scores the held-out split every k epochs, logs ``val_*`` rows, and
+    # keeps the best checkpoint by ``best_metric`` alongside the cadence
+    # checkpoints.
+    eval_every: int = 0
+    # watched held-out metric for best-checkpoint tracking.  Maximized by
+    # default (edge_auc); prefix "-" to minimize (e.g. "-spatial_mse").
+    best_metric: str = "edge_auc"
 
 
 @dataclass(frozen=True)

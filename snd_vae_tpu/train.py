@@ -307,6 +307,7 @@ class Trainer:
         train_batch: GraphBatch,
         mesh: Optional[Mesh] = None,
         workdir: str = ".",
+        eval_batch: Optional[GraphBatch] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -339,6 +340,28 @@ class Trainer:
         )
         # epoch of the spanning-tree draw currently in effect (0 = load-time)
         self._tree_boundary = 0
+        # held-out evaluation + best-checkpoint tracking (cfg.train.eval_every)
+        self.eval_batch = eval_batch
+        self._eval_step = None
+        self._best_ckpt: Optional[Checkpointer] = None
+        self._best_value: Optional[float] = None
+        if cfg.train.eval_every > 0 and eval_batch is not None:
+            best_dir = os.path.join(
+                workdir, cfg.train.checkpoint_dir,
+                f"{cfg.dataset}_{cfg.model_type}_best",
+            )
+            self._best_ckpt = Checkpointer(best_dir, max_to_keep=1)
+            self._best_path = os.path.join(best_dir, "best.json")
+            if os.path.exists(self._best_path):
+                import json
+
+                with open(self._best_path) as f:
+                    self._best_value = float(json.load(f)["value"])
+            eval_log = os.path.join(
+                workdir, cfg.train.log_dir,
+                f"val_loss_{cfg.dataset}_{cfg.model_type}.txt",
+            )
+            self.eval_logger = LossesLogger(eval_log)
 
     def _mesh_scope(self):
         """Ambient-mesh context for dispatches: activates the in-model node-
@@ -379,6 +402,73 @@ class Trainer:
         if self.mesh is not None:
             self.data = pmesh.shard_graphbatch(self.data, self.mesh)
         self.batched = rebatch(self.data, self.cfg.train.batch_size)
+
+    def evaluate_heldout(self) -> Dict[str, float]:
+        """Posterior-mean reconstruction metrics on the held-out batch.
+
+        The reference only ever scores checkpoints in separate
+        test_reconstruct processes (main.py:374-426); this runs the same
+        metrics in-training so quality is observable without stopping.
+        Decodes in train-batch-size slices (one compiled program, bounded
+        dispatches) and computes edge AUC/AP/F1 + MSEs host-side."""
+        from .evaluate import reconstruct_evaluation
+
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.cfg, self.model)
+        B = self.cfg.train.batch_size
+        G = self.eval_batch.batch_size
+        outs = []
+        for i in range(max(G // B, 1)):
+            b = self.eval_batch.slice_batch(i * B, B)
+            outs.append(jax.device_get(
+                self._eval_step(self.state.params, b).decoded
+            ))
+        gen_adj = np.concatenate([np.asarray(o.adj) for o in outs])
+        gen_nodes = np.concatenate([np.asarray(o.node_feat) for o in outs])
+        gen_spatial = np.concatenate([np.asarray(o.coords) for o in outs])
+        adj_scores = np.concatenate([
+            np.asarray(jax.nn.softmax(np.asarray(o.adj_prob, np.float32), axis=-1))[..., 1]
+            for o in outs
+        ])
+        n = len(gen_adj)
+        return reconstruct_evaluation(
+            gen_adj, gen_nodes, gen_spatial,
+            np.asarray(self.eval_batch.adj)[:n],
+            np.asarray(self.eval_batch.features)[:n],
+            np.asarray(self.eval_batch.coords)[:n],
+            self.cfg.dataset, adj_scores=adj_scores,
+        )
+
+    def _maybe_eval(self, epoch: int, verbose: bool) -> None:
+        """Held-out eval at the cfg.train.eval_every cadence; saves the best
+        checkpoint (by cfg.train.best_metric) with its score in best.json so
+        resume keeps comparing against the all-time best."""
+        k = self.cfg.train.eval_every
+        if k <= 0 or self.eval_batch is None or epoch <= 0 or epoch % k != 0:
+            return
+        metrics = self.evaluate_heldout()
+        self.eval_logger.log(epoch, {f"val_{n}": [v] for n, v in metrics.items()})
+        name = self.cfg.train.best_metric
+        sign = -1.0 if name.startswith("-") else 1.0
+        key = name.lstrip("-")
+        if key not in metrics:
+            if verbose:
+                print(f"eval: best_metric {key!r} not in {sorted(metrics)}; "
+                      "skipping best tracking")
+            return
+        score = sign * metrics[key]
+        if verbose:
+            print(f"Epoch: {epoch + 1:04d} val_{key}= {metrics[key]:.5f}"
+                  + (f" (best {sign * self._best_value:.5f})"
+                     if self._best_value is not None else ""))
+        if self._best_value is None or score > self._best_value:
+            self._best_value = score
+            self._best_ckpt.save(epoch, self.state)
+            import json
+
+            with open(self._best_path, "w") as f:
+                json.dump({"epoch": epoch, "metric": key,
+                           "value": score, "raw": metrics[key]}, f)
 
     def maybe_restore(self) -> int:
         """Resume from the latest checkpoint if one exists; returns the
@@ -459,6 +549,7 @@ class Trainer:
                     print(f"epoch time= {time.time() - epoch_time:.5f}")
                 if epoch % cfg.train.checkpoint_every == 0:
                     self.checkpointer.save(epoch, self.state)
+                self._maybe_eval(epoch, verbose)
                 last_means = self.logger.log(epoch, storer)
                 if stopper.stop:
                     self.checkpointer.save(epoch, self.state)
@@ -507,6 +598,12 @@ class Trainer:
                               f"max_dispatch_s={cfg.train.max_dispatch_s})")
                     want = min(want, cap)
                 stop = min(epochs, epoch + want, cad + 1)
+                ek = cfg.train.eval_every
+                if ek > 0 and self.eval_batch is not None:
+                    # chunks must also end right after an eval-cadence epoch
+                    # so the state at that epoch is live for scoring
+                    ecad = epoch + ((ek - epoch % ek) % ek)
+                    stop = min(stop, ecad + 1)
                 rk = cfg.train.resample_trees_every
                 if rk > 0:
                     # chunks must not cross a resampling boundary
@@ -547,6 +644,7 @@ class Trainer:
                     self.checkpointer.save(epoch - 1, self.state)
                 elif stopper.stop:
                     self.checkpointer.save(epoch - 1, self.state)
+                self._maybe_eval(epoch - 1, verbose)
                 if stopper.stop:
                     if verbose:
                         print(f"interrupted: checkpointed epoch {epoch - 1}")

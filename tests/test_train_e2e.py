@@ -117,6 +117,49 @@ def test_trainer_epoch_and_logs(tmp_path):
     assert len(open(log_file).readlines()) > 1
 
 
+def test_trainer_heldout_eval_and_best(tmp_path):
+    """cfg.train.eval_every: in-training held-out scoring + best-checkpoint
+    tracking.  The reference never evaluates during training — metrics only
+    exist as separate test_reconstruct runs against epoch-100-multiple
+    checkpoints (main.py:283-356 vs 374-426) — so this is corrected-mode
+    machinery; parity default is eval_every=0 (off)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.with_(train=cfg.train.__class__(**{
+        **cfg.train.__dict__, "eval_every": 1, "best_metric": "-spatial_mse",
+        "checkpoint_every": 100,
+    }))
+    batch = loaders.load_dataset(cfg, "train", num_graphs=8)
+    eval_batch = loaders.load_dataset(cfg, "test", num_graphs=4)
+    trainer = Trainer(cfg, batch, workdir=str(tmp_path), eval_batch=eval_batch)
+    trainer.run(epochs=2, verbose=False)
+
+    val_log = os.path.join(
+        str(tmp_path), cfg.train.log_dir,
+        f"val_loss_{cfg.dataset}_{cfg.model_type}.txt",
+    )
+    assert os.path.exists(val_log)
+    assert any("val_spatial_mse" in ln for ln in open(val_log))
+
+    best_dir = os.path.join(
+        str(tmp_path), cfg.train.checkpoint_dir,
+        f"{cfg.dataset}_{cfg.model_type}_best",
+    )
+    with open(os.path.join(best_dir, "best.json")) as f:
+        best = json.load(f)
+    assert best["metric"] == "spatial_mse"
+    assert np.isfinite(best["raw"]) and best["raw"] >= 0
+
+    from snd_vae_tpu.checkpoint import Checkpointer
+
+    assert Checkpointer(best_dir).latest_step() == best["epoch"]
+
+    # chunked path lands evals on the same epochs (chunks end at cadence+1)
+    t2 = Trainer(cfg, batch, workdir=str(tmp_path / "chunked"),
+                 eval_batch=eval_batch)
+    t2.run(epochs=2, verbose=False, epoch_chunk=4)
+    assert t2._best_value is not None
+
+
 def test_protein_3d_train_smoke():
     """The fourth-order conv path (protein preset family) trains: finite
     loss, finite grads (model.py:139-140 dispatch)."""
