@@ -61,6 +61,8 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(compute_dtype="bfloat16")
     if getattr(args, "use_pallas", False):
         cfg = cfg.with_(use_pallas=True)
+    if getattr(args, "remat", False):
+        cfg = cfg.with_(remat=True)
     if getattr(args, "coord_activation", "auto") != "auto":
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
             **{**cfg.decoder.__dict__, "coord_activation": args.coord_activation}
@@ -304,6 +306,11 @@ def main(argv=None):
                    help="bfloat16 compute (f32 master params and ELBO)")
     p.add_argument("--use-pallas", action="store_true", dest="use_pallas",
                    help="fused Pallas motif kernel in the sg-branch")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the motif convs and the pairwise "
+                        "adjacency head in backward (jax.checkpoint) — "
+                        "trades ~one extra forward of those blocks for the "
+                        "dominant activation HBM, raising trainable N")
     p.add_argument("--resample-trees-every", type=int, default=0,
                    dest="resample_trees_every",
                    help="re-draw spanning-tree samples every k epochs "
@@ -358,7 +365,17 @@ def main(argv=None):
                    help="multi-host: call jax.distributed.initialize before "
                         "any backend touch (coordinator/env-driven; "
                         "auto-detected on TPU pod slices)")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                   help="force the jax backend.  'cpu' runs the whole CLI on "
+                        "host CPU (set in-process — env vars are too late "
+                        "once sitecustomize has imported jax); 'auto' keeps "
+                        "the default backend (the TPU when available)")
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        # must precede the first backend touch; backend init is lazy, so an
+        # in-process config update still wins over the sitecustomize import
+        jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
         from .parallel.distributed import initialize_distributed

@@ -246,6 +246,14 @@ class Config:
     # recommended setting is the default (off).
     use_pallas: bool = False
     pallas_min_nodes: int = 256
+    # rematerialization (jax.checkpoint): recompute the motif-conv internals
+    # and the whole pairwise adjacency head in backward instead of saving
+    # their activations.  The saved residuals are the HBM ceiling at large N
+    # — the factored motif conv holds [B,N,N,h] intermediates and the E2E
+    # stack [B,N,N,C] layer boundaries — so trading ~one extra forward of
+    # those blocks raises the trainable N per chip.  Param paths are
+    # unchanged, so checkpoints interoperate across the switch.
+    remat: bool = False
 
     @property
     def pallas_engaged(self) -> bool:

@@ -71,6 +71,10 @@ class DisentangledSNDVAE(nn.Module):
         self.s_lin_std = ops.Dense(enc.s_latent_size)
 
         # --- encoder: joint branch ---------------------------------------
+        # cfg.remat: recompute each motif conv's [B,N,N,h]-scale internals in
+        # backward; only the [B,N,h] layer boundaries are saved
+        sgc3 = nn.remat(ops.SpatialGraphConv3D) if cfg.remat else ops.SpatialGraphConv3D
+        sgc = nn.remat(ops.SpatialGraphConv) if cfg.remat else ops.SpatialGraphConv
         sg_convs = []
         for hidden in enc.sg_conv_hidden:
             if cfg.model_type == "geoGCN":
@@ -80,10 +84,10 @@ class DisentangledSNDVAE(nn.Module):
                 out = hidden[0] if isinstance(hidden, (tuple, list)) else hidden
                 sg_convs.append(ops.StructGraphConv(out))
             elif cfg.uses_3d_conv:
-                sg_convs.append(ops.SpatialGraphConv3D(tuple(hidden)))
+                sg_convs.append(sgc3(tuple(hidden)))
             else:
                 sg_convs.append(
-                    ops.SpatialGraphConv(tuple(hidden), use_pallas=cfg.pallas_engaged)
+                    sgc(tuple(hidden), use_pallas=cfg.pallas_engaged)
                 )
         self.sg_convs = sg_convs
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
@@ -275,8 +279,22 @@ class DisentangledSNDVAE(nn.Module):
             cfg, self.d_s_lin2(sp.reshape(B * N, -1)), reference_linear=False
         ).reshape(B, N, -1)
 
-        # adjacency head (model.py:196-208); the [B,N,N,2C] pairwise map is
-        # row-blocked on nodes under an ambient mesh (parallel/hints.py)
+        # adjacency head (model.py:196-208); cfg.remat recomputes the whole
+        # [B,N,N,*] head from the small (z_sg_g, coords) inputs in backward
+        head = (
+            nn.remat(type(self)._adj_head) if cfg.remat else type(self)._adj_head
+        )
+        adj_prob = head(self, z_sg_g, coords)
+        adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
+
+        return DecodedGraph(adj=adj, adj_prob=adj_prob, coords=coords, node_feat=node_feat)
+
+    def _adj_head(self, z_sg_g: jax.Array, coords: jax.Array) -> jax.Array:
+        """Pairwise tile-concat + E2E stack + diag mask (model.py:196-208).
+        The [B,N,N,2C] pairwise map is row-blocked on nodes under an ambient
+        mesh (parallel/hints.py)."""
+        cfg, dec = self.cfg, self.cfg.decoder
+        B, N = z_sg_g.shape[0], cfg.num_nodes
         t1 = jnp.broadcast_to(z_sg_g[:, :, None, :], (B, N, N, z_sg_g.shape[-1]))
         t2 = jnp.broadcast_to(z_sg_g[:, None, :, :], (B, N, N, z_sg_g.shape[-1]))
         parts = [t1, t2]
@@ -296,10 +314,7 @@ class DisentangledSNDVAE(nn.Module):
         off_diag = 1.0 - jnp.eye(N, dtype=logits.dtype)
         prob1 = off_diag * logits[..., 1]
         prob0 = off_diag * logits[..., 0] + (1.0 - off_diag)
-        adj_prob = jnp.stack([prob0, prob1], axis=-1)
-        adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
-
-        return DecodedGraph(adj=adj, adj_prob=adj_prob, coords=coords, node_feat=node_feat)
+        return jnp.stack([prob0, prob1], axis=-1)
 
     def generate(
         self, key: jax.Array, num: int, num_samples: Optional[int] = None

@@ -41,13 +41,15 @@ class JointSNDVAE(nn.Module):
         norm = lambda: ops.make_norm(cfg.parity)
         N = cfg.num_nodes
 
+        # cfg.remat: recompute each motif conv's [B,N,N,h]-scale internals in
+        # backward; only the [B,N,h] layer boundaries are saved
+        sgc3 = nn.remat(ops.SpatialGraphConv3D) if cfg.remat else ops.SpatialGraphConv3D
+        sgc = nn.remat(ops.SpatialGraphConv) if cfg.remat else ops.SpatialGraphConv
         if cfg.uses_3d_conv:
-            self.sg_convs = [
-                ops.SpatialGraphConv3D(tuple(h)) for h in enc.sg_conv_hidden
-            ]
+            self.sg_convs = [sgc3(tuple(h)) for h in enc.sg_conv_hidden]
         else:
             self.sg_convs = [
-                ops.SpatialGraphConv(tuple(h), use_pallas=cfg.pallas_engaged)
+                sgc(tuple(h), use_pallas=cfg.pallas_engaged)
                 for h in enc.sg_conv_hidden
             ]
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]
@@ -168,7 +170,27 @@ class JointSNDVAE(nn.Module):
             node_feat_prob = None
             node_feat = jax.nn.sigmoid(node_logits).reshape(B, N, -1)
 
-        # adjacency head (model_joint.py:164-179)
+        # adjacency head (model_joint.py:164-179); cfg.remat recomputes the
+        # whole [B,N,N,*] head from the small (joint_h, coords) in backward
+        head = (
+            nn.remat(type(self)._adj_head) if cfg.remat else type(self)._adj_head
+        )
+        adj_prob = head(self, joint_h, coords)
+        adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
+
+        return DecodedGraph(
+            adj=adj,
+            adj_prob=adj_prob,
+            coords=coords,
+            node_feat=node_feat,
+            node_feat_prob=node_feat_prob,
+        )
+
+    def _adj_head(self, joint_h: jax.Array, coords: jax.Array) -> jax.Array:
+        """Pairwise tile-concat + E2E stack (+ scene categorical edges,
+        model_joint.py:164-179)."""
+        cfg, dec = self.cfg, self.cfg.decoder
+        B, N = joint_h.shape[0], cfg.num_nodes
         t1 = jnp.broadcast_to(joint_h[:, :, None, :], (B, N, N, joint_h.shape[-1]))
         t2 = jnp.broadcast_to(joint_h[:, None, :, :], (B, N, N, joint_h.shape[-1]))
         parts = [t1, t2]
@@ -184,21 +206,11 @@ class JointSNDVAE(nn.Module):
             B, N, N, -1
         )
         if cfg.dataset == "scene":
-            adj_prob = logits
-        else:
-            off_diag = 1.0 - jnp.eye(N, dtype=logits.dtype)
-            prob1 = off_diag * logits[..., 1]
-            prob0 = off_diag * logits[..., 0] + (1.0 - off_diag)
-            adj_prob = jnp.stack([prob0, prob1], axis=-1)
-        adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
-
-        return DecodedGraph(
-            adj=adj,
-            adj_prob=adj_prob,
-            coords=coords,
-            node_feat=node_feat,
-            node_feat_prob=node_feat_prob,
-        )
+            return logits
+        off_diag = 1.0 - jnp.eye(N, dtype=logits.dtype)
+        prob1 = off_diag * logits[..., 1]
+        prob0 = off_diag * logits[..., 0] + (1.0 - off_diag)
+        return jnp.stack([prob0, prob1], axis=-1)
 
     def generate(self, key: jax.Array, num: int) -> DecodedGraph:
         z = jax.random.normal(key, (num, 1, self.cfg.encoder.sg_latent_size))

@@ -301,3 +301,58 @@ def test_outputs_in_range(tiny_batch, key):
     f = np.asarray(out.decoded.node_feat)
     assert (c > 0).all() and (c < 1).all()
     assert (f > 0).all() and (f < 1).all()
+
+
+@pytest.mark.parametrize("model_type", ["disentangled", "base"])
+def test_remat_matches_baseline(tiny_batch, key, model_type):
+    """cfg.remat (jax.checkpoint over the motif convs + adjacency head) must
+    change ONLY the backward-pass memory schedule: identical param structure,
+    identical outputs, matching gradients."""
+    cfg = tiny_cfg(model_type=model_type)
+    cfg_r = cfg.with_(remat=True)
+    model, model_r = build_model(cfg), build_model(cfg_r)
+    v = model.init(key, tiny_batch, key=key)
+    v_r = model_r.init(key, tiny_batch, key=key)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_r)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), v, v_r)
+
+    def loss(m, params):
+        out = m.apply({"params": params}, tiny_batch, key=key)
+        total, _ = elbo_loss(
+            cfg, out, tiny_batch.adj, tiny_batch.features, tiny_batch.coords,
+            jnp.asarray(0.0),
+        )
+        return total
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(v_r["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0, g1,
+    )
+
+
+def test_remat_matches_baseline_3d(key):
+    """Same remat invariance for the fourth-order conv family (protein)."""
+    cfg = tiny_cfg(
+        dataset="protein", spatial_dim=3, num_nodes=5,
+        encoder=EncoderConfig(
+            s_channels=(4,), s_kernel_sizes=(3,), s_strides=(1,),
+            s_hidden_size=8, s_latent_size=4,
+            g_conv_hidden=(4,), g_hidden_size=8, g_latent_size=4,
+            sg_conv_hidden=((3, 3, 3, 3),), sg_hidden_size=8, sg_latent_size=4,
+        ),
+    )
+    batch = loaders.load_dataset(cfg, "train", num_graphs=2).slice_batch(0, 2)
+    model = build_model(cfg)
+    model_r = build_model(cfg.with_(remat=True))
+    v = model.init(key, batch, key=key)
+    out = model.apply(v, batch, key=key)
+    out_r = model_r.apply(v, batch, key=key)
+    np.testing.assert_allclose(
+        np.asarray(out.decoded.adj_prob), np.asarray(out_r.decoded.adj_prob),
+        rtol=1e-6,
+    )
