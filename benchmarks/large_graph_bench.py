@@ -214,6 +214,49 @@ def bench_full_train_pallas():
         }), flush=True)
 
 
+def bench_full_train_remat():
+    """Full-train protocol at and beyond the single-chip HBM frontier, with
+    and without cfg.remat (jax.checkpoint over the motif convs + the whole
+    pairwise adjacency head).  The saved residuals of those blocks are the
+    memory ceiling at large N — [B,N,N,h]-scale tensors on the backward tape
+    — so rematerializing them should raise the max trainable N per chip for
+    ~one extra forward of those blocks.  Rows report ms/step or "oom"."""
+    from snd_vae_tpu.config import synthetic2_preset
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import (
+        init_state, make_epoch_step, make_optimizer, rebatch,
+    )
+
+    for n, reps in ((512, 6), (768, 4), (1024, 3)):
+        for remat in (False, True):
+            cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+                num_nodes=n, sampling_num=2, remat=remat,
+            )
+            cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+            data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+            batched = rebatch(data, 2)
+            model, state = init_state(cfg, data)
+            step = make_epoch_step(cfg, model, make_optimizer(cfg))
+            row = {"bench": "full_train_step_remat", "n": n,
+                   "batch_graphs": 2, "remat": remat}
+            try:
+                state, aux = step(state, batched)
+                jax.device_get(aux["loss"])          # compile + warm
+                t0 = time.perf_counter()
+                state, aux = step(state, batched)
+                jax.device_get(aux["loss"])          # one fetch fences all
+                dt = (time.perf_counter() - t0) / reps
+                row["ms_per_step"] = round(dt * 1e3, 2)
+                row["graphs_per_sec"] = round(2.0 / dt, 1)
+            except Exception as e:                   # OOM is a data point
+                msg = str(e)
+                if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                    row["oom"] = True
+                else:
+                    row["error"] = msg[:200]
+            print(json.dumps(row), flush=True)
+
+
 def bench_full_train_3d():
     """FULL 3D-family training step (fourth-order factored conv, protein
     preset architecture) at N beyond the reference's cap.  The reference's
@@ -261,6 +304,7 @@ if __name__ == "__main__":
         "spatial_conv": bench_spatial_conv,
         "full_train": bench_full_train,
         "full_train_pallas": bench_full_train_pallas,
+        "full_train_remat": bench_full_train_remat,
         "full_train_3d": bench_full_train_3d,
     }
     wanted = sys.argv[1:] or list(benches)
