@@ -125,28 +125,47 @@ def _run():
     print(json.dumps(record))
 
 
-def main(attempts: int = 3, retry_wait_s: float = 240.0):
+def main(attempts: int = 3, retry_wait_s: float = 240.0,
+         attempt_timeout_s: float = 900.0):
     """The tunneled TPU worker occasionally crashes/restarts (BASELINE.md
     "mnist caveats"); a crash mid-bench would otherwise record a failure for
-    the whole round.  Retry after letting the worker come back; device
-    buffers are lost on a crash so each attempt rebuilds from scratch."""
+    the whole round.  Outages surface two ways: as exceptions
+    (jax.errors.JaxRuntimeError or transport errors from the remote plugin)
+    or as an indefinite HANG (submissions neither complete nor fail while the
+    tunnel restarts).  A hang can't be interrupted in-process — the backend
+    blocks in a C call, so signal handlers never run — so each attempt is a
+    watchdog-bounded subprocess: on timeout it is killed and retried after
+    letting the worker come back.  Device buffers are lost either way; each
+    attempt rebuilds from scratch."""
+    import subprocess
+
     for attempt in range(attempts):
         try:
-            return _run()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                stdout=subprocess.PIPE, timeout=attempt_timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            out = proc.stdout.decode()
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])  # stdout stays exactly one JSON line
+                return
+            err = f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"hang (> {attempt_timeout_s:.0f}s watchdog)"
         except (KeyboardInterrupt, SystemExit):
             raise
-        except Exception as e:
-            # broad on purpose: a tunneled-worker outage surfaces either as
-            # jax.errors.JaxRuntimeError or as transport-level errors from
-            # the remote plugin (connection/HTTP failures), and the retry
-            # exists precisely for those
-            if attempt == attempts - 1:
-                raise
-            # stderr only: stdout must stay exactly one JSON line
-            print(f"bench attempt {attempt + 1} failed ({e}); "
-                  f"retrying in {retry_wait_s:.0f}s", file=sys.stderr, flush=True)
-            time.sleep(retry_wait_s)
+        if attempt == attempts - 1:
+            raise RuntimeError(f"bench failed after {attempts} attempts: {err}")
+        # stderr only: stdout must stay exactly one JSON line
+        print(f"bench attempt {attempt + 1} failed ({err}); "
+              f"retrying in {retry_wait_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(retry_wait_s)
 
 
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv:
+        _run()
+    else:
+        main()
