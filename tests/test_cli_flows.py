@@ -116,6 +116,19 @@ def test_quality_flag_builds_recommended_config():
     assert not cfg.decoder.edge_from_coords
 
 
+def test_remat_flag_threads_into_config():
+    from types import SimpleNamespace
+
+    def ns(**kw):
+        base = dict(dataset="synthetic2", model_type=None, epochs=None,
+                    dataset_path=None, beta=None)
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    assert not cli._build_cfg(ns()).remat
+    assert cli._build_cfg(ns(remat=True)).remat
+
+
 def test_synthetic3_base_flow(tmp_path):
     """synthetic3 is selectable end-to-end; under the joint model its
     coordinate head is linear (model_joint.py:118-121), so decoded coords
