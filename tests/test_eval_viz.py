@@ -59,9 +59,31 @@ def test_generation_evaluation_keys():
         b["adj"], b["node"], b["geometry"] / 600,
     )
     assert {"degree_mmd", "clustering_mmd", "edge_length_mmd",
-            "density_gen", "density_ref"} <= set(r)
+            "spectral_mmd", "density_gen", "density_ref"} <= set(r)
     # same distribution family -> small MMDs
     assert r["degree_mmd"] < 1.0
+    assert r["spectral_mmd"] < 0.5
+
+
+def test_spectral_mmd_separates_structure():
+    """The Laplacian spectrum distinguishes graph families that degree
+    histograms alone may not: same-family sets score near zero, while path
+    graphs vs complete graphs score high."""
+    from snd_vae_tpu.evaluate import _spectral_hist
+
+    n = 8
+    path = np.zeros((n, n)); idx = np.arange(n - 1)
+    path[idx, idx + 1] = path[idx + 1, idx] = 1.0
+    comp = 1.0 - np.eye(n)
+    paths = np.stack([path] * 5)
+    comps = np.stack([comp] * 5)
+    h_p = np.stack([_spectral_hist(a) for a in paths])
+    h_c = np.stack([_spectral_hist(a) for a in comps])
+    assert gaussian_mmd(h_p, h_p) == pytest.approx(0.0, abs=1e-9)
+    assert gaussian_mmd(h_p, h_c) > 0.5
+    # eigenvalues of the normalized Laplacian stay in [0, 2]: the density
+    # histogram over that fixed range integrates to 1 (no mass clipped)
+    assert np.isclose(h_p.sum(-1) * 0.2, 1.0).all()
 
 
 def test_generation_evaluation_raw_scale_coords():
