@@ -146,6 +146,35 @@ def test_sharded_train_step_matches_single_device():
     )
 
 
+def test_sharded_train_step_with_remat_matches_single_device():
+    """cfg.remat (jax.checkpoint over the motif convs + adjacency head)
+    composes with the ambient-mesh sharding hints: the rematerialized
+    blocks contain with_sharding_constraint sites, and the sharded remat
+    step must still match the meshless non-remat step."""
+    cfg = tiny_cfg(num_nodes=12, remat=True)
+    batch = loaders.load_dataset(cfg, "train", num_graphs=4)
+    model, state0 = init_state(cfg, batch)
+    step = make_train_step(cfg, model, make_optimizer(cfg))
+    state_ref, aux_ref = step(state0, batch, jnp.asarray(0.0))
+
+    mesh = pmesh.make_mesh(2, 4)
+    _, state1 = init_state(cfg, batch)
+    sbatch = pmesh.shard_graphbatch(batch, mesh)
+    step2 = make_train_step(cfg, model, make_optimizer(cfg))
+    with jax.set_mesh(mesh):
+        state_mesh, aux_mesh = step2(state1, sbatch, jnp.asarray(0.0))
+
+    np.testing.assert_allclose(
+        float(aux_mesh["loss"]), float(aux_ref["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        ),
+        jax.device_get(state_ref.params), jax.device_get(state_mesh.params),
+    )
+
+
 def test_e2e_toeplitz_path_partitioned(inspect_hints):
     """The E2E decoder's matmul lowering keeps its [B,N,N,C] maps node-
     sharded (row conv comm-free; column conv reduce-scatters)."""
