@@ -32,7 +32,11 @@ from .evaluate import (
 from .models import build_model
 from .models import traversal as trav
 from .train import Trainer, init_state, make_eval_step
-from .visualize import visualize_reconstruct, visualize_traverse
+from .visualize import (
+    visualize_latent_embedding,
+    visualize_reconstruct,
+    visualize_traverse,
+)
 
 
 def _build_cfg(args) -> Config:
@@ -173,6 +177,16 @@ def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
                 np.concatenate(zs), np.concatenate(zgs), np.concatenate(zsgs),
                 np.asarray(batch.factors)[:n_eval], cfg.dataset,
             )
+        )
+        z_all = np.concatenate(
+            [np.concatenate(zs), np.concatenate(zgs), np.concatenate(zsgs)],
+            axis=1,
+        )
+        visualize_latent_embedding(
+            z_all, np.asarray(batch.factors)[: len(z_all)],
+            save_path=os.path.join(
+                workdir, "figures", f"latent_{cfg.dataset}.png"
+            ),
         )
     fig = visualize_reconstruct(
         5, np.asarray(batch.adj), np.asarray(batch.features),

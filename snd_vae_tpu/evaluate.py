@@ -245,4 +245,125 @@ def disentangle_evaluation(
         if len(top) >= 2 and top[0] > 0:
             gaps.append((top[0] - top[1]) / top[0])
     out["mig_gap"] = float(np.mean(gaps)) if gaps else 0.0
+    out["sap"] = sap_score(z_all, factor)
+    out.update(dci_scores(z_all, factor))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SAP and DCI — the standard quantitative disentanglement scores for the
+# factor-supervised setting the reference targets (its disentangle_evaluation
+# consumes the ground-truth factor array from 2D_prop.npy, input_data.py:60,
+# and main.py:13-18 imports sklearn, signalling regression-based metrics).
+# ---------------------------------------------------------------------------
+
+def sap_score(z: np.ndarray, factors: np.ndarray) -> float:
+    """Separated Attribute Predictability (Kumar et al., DIP-VAE — the same
+    paper the reference's 'NED-VAE-IP' loss comes from, optimizer.py:176-182).
+
+    For continuous factors the per-(latent, factor) score is the R² of the
+    single-latent linear regression, i.e. squared correlation.  SAP is the
+    mean over factors of (top-1 − top-2) of that score column: high when each
+    factor is predictable from ONE latent dimension and not its runner-up.
+    """
+    z = np.asarray(z, dtype=np.float64).reshape(len(z), -1)
+    f = np.asarray(factors, dtype=np.float64)
+    if f.ndim == 1:
+        f = f[:, None]
+    s = _abs_corr(z, f) ** 2  # [L, K] single-latent R²
+    if s.shape[0] < 2:
+        return 0.0
+    gaps = []
+    for k in range(s.shape[1]):
+        top = np.sort(s[:, k])[::-1]
+        gaps.append(top[0] - top[1])
+    return float(np.mean(gaps))
+
+
+def _entropy(p: np.ndarray) -> float:
+    p = p[p > 0]
+    return float(-(p * np.log(p)).sum())
+
+
+def _dci_importance(z: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """[L, K] importance of each latent for predicting each factor: |coef| of
+    a Lasso fit on standardized inputs (sparse linear importances — the
+    lightweight standard choice; falls back to |correlation| without
+    sklearn).  Inputs are standardized so coefficient magnitudes compare."""
+    try:
+        from sklearn.linear_model import Lasso
+    except ImportError:  # pragma: no cover - sklearn is baked into this env
+        return _abs_corr(z, f)
+    zs = (z - z.mean(0)) / (z.std(0) + 1e-12)
+    r = np.zeros((z.shape[1], f.shape[1]))
+    for k in range(f.shape[1]):
+        fk = f[:, k]
+        std = fk.std()
+        if std < 1e-12:
+            continue
+        model = Lasso(alpha=0.02, max_iter=5000)
+        model.fit(zs, (fk - fk.mean()) / std)
+        r[:, k] = np.abs(model.coef_)
+    return r
+
+
+def dci_scores(z: np.ndarray, factors: np.ndarray) -> Dict[str, float]:
+    """DCI (Eastwood & Williams 2018): Disentanglement, Completeness,
+    Informativeness from a per-(latent, factor) importance matrix R.
+
+      * disentanglement — 1 − H(R[i,:]/ΣR[i,:])/log K per latent, averaged
+        with weights ρ_i = ΣR[i,:]/ΣR (latents that matter count more);
+      * completeness   — 1 − H(R[:,k]/ΣR[:,k])/log L per factor, averaged;
+      * informativeness — mean in-sample R² of the linear predictor per
+        factor (small-sample setting: no held-out split; comparable across
+        checkpoints of the same run).
+    """
+    z = np.asarray(z, dtype=np.float64).reshape(len(z), -1)
+    f = np.asarray(factors, dtype=np.float64)
+    if f.ndim == 1:
+        f = f[:, None]
+    L, K = z.shape[1], f.shape[1]
+    r = _dci_importance(z, f)
+    total = r.sum()
+    out = {"dci_disentanglement": 0.0, "dci_completeness": 0.0,
+           "dci_informativeness": 0.0}
+    if total <= 0:
+        return out
+
+    if K > 1:
+        rho = r.sum(1) / total
+        d = np.array([
+            1.0 - _entropy(r[i] / r[i].sum()) / np.log(K) if r[i].sum() > 0
+            else 0.0
+            for i in range(L)
+        ])
+        out["dci_disentanglement"] = float((rho * d).sum())
+    else:
+        # one factor: any latent's importance distribution is trivially
+        # concentrated — the score carries no information, report 1.0
+        out["dci_disentanglement"] = 1.0
+
+    if L > 1:
+        c = np.array([
+            1.0 - _entropy(r[:, k] / r[:, k].sum()) / np.log(L)
+            if r[:, k].sum() > 0 else 0.0
+            for k in range(K)
+        ])
+        out["dci_completeness"] = float(c.mean())
+    else:
+        out["dci_completeness"] = 1.0
+
+    # informativeness: full (multi-latent) least-squares R² per factor
+    zs = (z - z.mean(0)) / (z.std(0) + 1e-12)
+    zb = np.concatenate([zs, np.ones((len(zs), 1))], axis=1)
+    r2s = []
+    for k in range(K):
+        fk = f[:, k]
+        var = fk.var()
+        if var < 1e-12:
+            continue
+        coef, *_ = np.linalg.lstsq(zb, fk, rcond=None)
+        resid = fk - zb @ coef
+        r2s.append(1.0 - resid.var() / var)
+    out["dci_informativeness"] = float(np.mean(r2s)) if r2s else 0.0
     return out

@@ -115,6 +115,50 @@ def find_latent(z: np.ndarray, target: np.ndarray) -> int:
     return int(np.argmin(d))
 
 
+def visualize_latent_embedding(
+    z: np.ndarray,
+    factors: Optional[np.ndarray] = None,
+    save_path: Optional[str] = None,
+    labels: Optional[Sequence[str]] = None,
+):
+    """2D PCA embedding of the latent codes, one panel per ground-truth
+    factor (points colored by that factor's value) — the embedding-based
+    inspection the reference's sklearn ``manifold`` import signals
+    (main.py:13-18) but never ships.  PCA via SVD (deterministic, no sklearn
+    dependency); falls back to a single uncolored panel without factors."""
+    plt = _mpl()
+    z = np.asarray(z, dtype=np.float64).reshape(len(z), -1)
+    zc = z - z.mean(0)
+    # rank-2 PCA: right singular vectors of the centered code matrix
+    _, _, vt = np.linalg.svd(zc, full_matrices=False)
+    xy = zc @ vt[:2].T
+
+    f = None
+    if factors is not None:
+        f = np.asarray(factors, dtype=np.float64)
+        if f.ndim == 1:
+            f = f[:, None]
+        f = f[: len(xy)]
+    k = 1 if f is None else f.shape[1]
+    fig, axes = plt.subplots(1, k, figsize=(3.2 * k, 3.0), squeeze=False)
+    for j in range(k):
+        ax = axes[0][j]
+        if f is None:
+            ax.scatter(xy[:, 0], xy[:, 1], s=14)
+        else:
+            sc = ax.scatter(xy[:, 0], xy[:, 1], c=f[:, j], s=14, cmap="viridis")
+            fig.colorbar(sc, ax=ax, shrink=0.8)
+        name = labels[j] if labels and j < len(labels) else f"factor {j}"
+        ax.set_title(name if f is not None else "latents", fontsize=9)
+        ax.set_xlabel("PC1", fontsize=8)
+        ax.set_ylabel("PC2", fontsize=8)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150)
+    return fig
+
+
 def visualize_mesh(
     coords: np.ndarray, adj: np.ndarray, save_path: Optional[str] = None
 ):
