@@ -480,3 +480,43 @@ def test_checkpoint_resume(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         saved_params, restored,
     )
+
+
+@pytest.mark.parametrize("reshuffle", [False, True])
+def test_resume_trajectory_matches_uninterrupted(tmp_path, reshuffle):
+    """Crash recovery must not fork the run: training 2 epochs, restarting
+    the process (fresh Trainer), and training 2 more must land on EXACTLY
+    the params of an uninterrupted 4-epoch run.  Holds because the
+    checkpoint carries the full TrainState (params, opt_state, step, PRNG
+    key) and every stochastic choice (reshuffle permutation, per-step
+    sampling keys) derives from carried or epoch-keyed state."""
+    cfg_a = tiny_cfg(tmp_path / "a", train=TrainConfig(
+        batch_size=4, epochs=4, learning_rate=3e-3, checkpoint_every=1,
+        checkpoint_dir=str(tmp_path / "a" / "ckpt"),
+        log_dir=str(tmp_path / "a" / "logs"), reshuffle=reshuffle,
+    ))
+    from dataclasses import replace
+
+    cfg_b = cfg_a.with_(train=replace(
+        cfg_a.train,
+        checkpoint_dir=str(tmp_path / "b" / "ckpt"),
+        log_dir=str(tmp_path / "b" / "logs"),
+    ))
+    batch = loaders.load_dataset(cfg_a, "train", num_graphs=4)
+
+    trainer_a = Trainer(cfg_a, batch, workdir=str(tmp_path / "a"))
+    trainer_a.run(epochs=4, verbose=False)
+    params_a = jax.device_get(trainer_a.state.params)
+
+    trainer_b = Trainer(cfg_b, batch, workdir=str(tmp_path / "b"))
+    trainer_b.run(epochs=2, verbose=False)
+    del trainer_b  # "crash": drop all in-process state
+    trainer_b2 = Trainer(cfg_b, batch, workdir=str(tmp_path / "b"))
+    trainer_b2.run(epochs=4, verbose=False)  # maybe_restore resumes at 2
+    params_b = jax.device_get(trainer_b2.state.params)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_a, params_b,
+    )
+    assert int(trainer_a.state.step) == int(trainer_b2.state.step)
