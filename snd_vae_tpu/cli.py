@@ -152,7 +152,9 @@ def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
     gen_nodes = np.concatenate([o.node_feat for o in outs])
     gen_spatial = np.concatenate([o.coords for o in outs])
     adj_scores = np.concatenate([
-        np.asarray(jax.nn.softmax(o.adj_prob, axis=-1))[..., 1] for o in outs
+        # 1 - P(class 0): P(edge) for binary logits, P(any relation) for scene
+        1.0 - np.asarray(jax.nn.softmax(o.adj_prob, axis=-1))[..., 0]
+        for o in outs
     ])
 
     qdir = os.path.join(workdir, "qualitative_evaluation", cfg.dataset)

@@ -66,12 +66,26 @@ def reconstruct_evaluation(
     out["edge_recall"] = tp / max(tp + fn, 1.0)
     p, r = out["edge_precision"], out["edge_recall"]
     out["edge_f1"] = 2 * p * r / max(p + r, 1e-12)
-    out["node_mse"] = float(
-        np.mean((np.asarray(gen_nodes[:G]) - np.asarray(feature_truth[:G]).reshape(gen_nodes[:G].shape)) ** 2)
-    )
+    gn = np.asarray(gen_nodes[:G])
+    ft = np.asarray(feature_truth[:G])
+    if gn.size == ft.size:
+        out["node_mse"] = float(np.mean((gn - ft.reshape(gn.shape)) ** 2))
+    else:
+        # categorical node decode (scene, model_joint.py:140-145): gen_nodes
+        # are class indices [G,N(,1)] while truth is one-hot [G,N,K] — MSE is
+        # meaningless (the reference zeroes the node loss for scene,
+        # optimizer.py:146-147); report classification accuracy instead
+        idx_true = np.argmax(ft, axis=-1)
+        out["node_acc"] = float(np.mean(gn.reshape(idx_true.shape) == idx_true))
     out["spatial_mse"] = float(
         np.mean((np.asarray(gen_spatial[:G]) - np.asarray(spatial_truth[:G])) ** 2)
     )
+    at = np.asarray(adj_truth[:G])
+    ga = np.asarray(gen_adj[:G])
+    if at.max() > 1 or ga.max() > 1:
+        # K-way categorical relations (scene): exact relation-type accuracy
+        # over off-diagonal pairs, alongside the binarized edge metrics above
+        out["relation_acc"] = float(np.mean(_off_diag(ga) == _off_diag(at)))
     return out
 
 
@@ -80,7 +94,7 @@ def reconstruct_evaluation(
 # ---------------------------------------------------------------------------
 
 def _degree_hist(adj: np.ndarray, bins: int) -> np.ndarray:
-    deg = adj.sum(-1)
+    deg = (adj > 0.5).sum(-1)  # binarize: scene relations carry labels 0..K-1
     h, _ = np.histogram(deg, bins=bins, range=(0, bins), density=True)
     return h
 

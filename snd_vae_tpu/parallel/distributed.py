@@ -34,9 +34,13 @@ def initialize_distributed(
     the JAX_* environment variables; on TPU pod slices everything can be
     auto-detected and all three may stay None.
     """
-    from jax._src import distributed as _dist
+    try:  # private module: the only initialized-check across jax versions
+        from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:  # already initialized
+        already = _dist.global_state.client is not None
+    except ImportError:  # moved/removed in a future jax: fall through and
+        already = False  # rely on initialize() raising if double-called
+    if already:
         return jax.process_index()
 
     coordinator_address = coordinator_address or os.environ.get(

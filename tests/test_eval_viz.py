@@ -203,3 +203,33 @@ def test_visualize_latent_embedding(tmp_path, rng):
     assert p.exists() and p.stat().st_size > 0
     # factor-free path
     visualize_latent_embedding(z, None, save_path=str(tmp_path / "l2.png"))
+
+
+def test_reconstruct_evaluation_scene_categorical(rng):
+    """Scene-style inputs: K-way relation labels in the adjacency and
+    class-index node decodes vs one-hot truth must evaluate without
+    reshape errors, reporting node/relation accuracy instead of node MSE."""
+    G, N, K, F = 4, 6, 5, 3
+    adj_truth = rng.integers(0, K, size=(G, N, N))
+    np.einsum("gii->gi", adj_truth)[:] = 0
+    gen_adj = adj_truth.copy()
+    feature_truth = np.eye(F)[rng.integers(0, F, size=(G, N))]
+    gen_nodes = np.argmax(feature_truth, axis=-1)[..., None]  # [G,N,1] indices
+    coords = rng.standard_normal((G, N, 3))
+    r = reconstruct_evaluation(
+        gen_adj, gen_nodes, coords, adj_truth, feature_truth, coords, "scene"
+    )
+    assert r["node_acc"] == 1.0
+    assert r["relation_acc"] == 1.0
+    assert r["edge_acc"] == 1.0
+    assert "node_mse" not in r
+
+
+def test_degree_hist_binarizes_relation_labels():
+    """Degree must count edges, not sum scene relation labels."""
+    from snd_vae_tpu.evaluate import _degree_hist
+
+    a_labeled = np.array([[0, 3, 0], [3, 0, 2], [0, 2, 0]], dtype=float)
+    a_binary = (a_labeled > 0.5).astype(float)
+    np.testing.assert_array_equal(_degree_hist(a_labeled, 4),
+                                  _degree_hist(a_binary, 4))

@@ -520,3 +520,27 @@ def test_resume_trajectory_matches_uninterrupted(tmp_path, reshuffle):
         params_a, params_b,
     )
     assert int(trainer_a.state.step) == int(trainer_b2.state.step)
+
+
+def test_scene_heldout_eval(tmp_path):
+    """The in-training held-out eval must handle scene's categorical decode
+    (class-index nodes, K-way relation logits) — regression for the crash at
+    evaluate.py node-MSE reshape on one-hot truth."""
+    from snd_vae_tpu.config import DecoderConfig as DC
+
+    cfg = tiny_cfg(
+        tmp_path, dataset="scene", model_type="base", num_nodes=10,
+        num_features=3, spatial_dim=3,
+        decoder=DC(
+            node_h_size=4, s_d_channels=(4,), s_d_kernel_sizes=(3,),
+            s_d_strides=(1,), n_d_channels=(4,), n_d_kernel_sizes=(3,),
+            n_d_strides=(1,), e_d_hidden=(4,), num_edge_feature=5,
+        ),
+    )
+    batch = loaders.load_dataset(cfg, "train", num_graphs=4)
+    trainer = Trainer(cfg, batch, workdir=str(tmp_path),
+                      eval_batch=batch.slice_batch(0, 4))
+    metrics = trainer.evaluate_heldout()
+    assert "node_acc" in metrics and 0.0 <= metrics["node_acc"] <= 1.0
+    assert "relation_acc" in metrics
+    assert np.isfinite(metrics["spatial_mse"])
