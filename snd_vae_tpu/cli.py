@@ -95,6 +95,19 @@ def run_train(
     profile: bool = False,
     epoch_chunk: int = 1,
 ) -> Dict[str, float]:
+    # persist the fully-resolved config next to the logs: the reference's
+    # runs are irreproducible (flags mutated at runtime, main.py:136-241,
+    # model.py:100-101); here every knob of the run is one JSON artifact
+    import dataclasses
+
+    cfg_path = os.path.join(
+        workdir, cfg.train.log_dir,
+        f"config_{cfg.dataset}_{cfg.model_type}.json",
+    )
+    os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
+    with open(cfg_path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
     batch = loaders.load_dataset(cfg, "train")
     mesh = None
     if cfg.mesh.data * cfg.mesh.model > 1:

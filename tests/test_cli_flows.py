@@ -143,3 +143,22 @@ def test_synthetic3_base_flow(tmp_path):
     trainer = _train_then(cfg, tmp_path)
     gen = cli.run_test_generation(cfg, str(tmp_path), num_generate=4)
     assert any(np.isfinite(v) for v in gen.values())
+
+
+def test_run_train_dumps_resolved_config(tmp_path):
+    """Every training run persists its fully-resolved config as JSON (the
+    reference's runs are irreproducible — flags mutate at runtime,
+    main.py:136-241)."""
+    import json
+
+    cfg = tiny_cfg(tmp_path)
+    cli.run_train(cfg, str(tmp_path), epochs=1)
+    p = os.path.join(
+        str(tmp_path), cfg.train.log_dir,
+        f"config_{cfg.dataset}_{cfg.model_type}.json",
+    )
+    with open(p) as f:
+        dumped = json.load(f)
+    assert dumped["dataset"] == cfg.dataset
+    assert dumped["train"]["batch_size"] == cfg.train.batch_size
+    assert dumped["encoder"]["sg_latent_size"] == cfg.encoder.sg_latent_size
