@@ -99,9 +99,24 @@ def _degree_hist(adj: np.ndarray, bins: int) -> np.ndarray:
     return h
 
 
+def _safe_hist(vals: np.ndarray, bins: int, range_) -> np.ndarray:
+    """Normalized histogram that returns zeros instead of NaN when no sample
+    falls inside ``range_`` (np.histogram's density=True divides 0/0 there —
+    hit by scene's directed decodes before coefficients were clamped)."""
+    h, edges = np.histogram(vals, bins=bins, range=range_)
+    total = h.sum()
+    if total == 0:
+        return np.zeros(bins)
+    return h / (total * (edges[1] - edges[0]))
+
+
 def _clustering_coeffs(adj: np.ndarray) -> np.ndarray:
-    """Per-node clustering coefficients for one binary adjacency."""
+    """Per-node clustering coefficients for one binary adjacency.  Directed
+    inputs (scene's relation maps) are symmetrized first — clustering is an
+    undirected statistic and the directed triangle count can exceed the
+    undirected denominator."""
     a = (adj > 0.5).astype(np.float64)
+    a = np.maximum(a, a.T)
     deg = a.sum(-1)
     tri = np.diagonal(a @ a @ a)  # 2x triangles per node
     denom = deg * (deg - 1)
@@ -117,8 +132,10 @@ def _spectral_hist(adj: np.ndarray, bins: int = 10) -> np.ndarray:
     eval suites); the reference's missing ``utils.evaluation`` module
     (main.py:467) is reconstructed with distributional MMDs, and the
     spectrum captures global structure that degree/clustering histograms
-    miss (e.g. connectivity, bipartiteness)."""
+    miss (e.g. connectivity, bipartiteness).  Directed inputs are
+    symmetrized (eigvalsh requires a symmetric operator)."""
     a = (adj > 0.5).astype(np.float64)
+    a = np.maximum(a, a.T)
     deg = a.sum(-1)
     with np.errstate(divide="ignore"):
         dinv = np.where(deg > 0, deg**-0.5, 0.0)
@@ -166,12 +183,10 @@ def generation_evaluation(
     deg_g = np.stack([_degree_hist(a, bins) for a in gen_adj])
     deg_r = np.stack([_degree_hist(a, bins) for a in adj])
     clus_g = np.stack([
-        np.histogram(_clustering_coeffs(a), bins=10, range=(0, 1), density=True)[0]
-        for a in gen_adj
+        _safe_hist(_clustering_coeffs(a), 10, (0, 1)) for a in gen_adj
     ])
     clus_r = np.stack([
-        np.histogram(_clustering_coeffs(a), bins=10, range=(0, 1), density=True)[0]
-        for a in adj
+        _safe_hist(_clustering_coeffs(a), 10, (0, 1)) for a in adj
     ])
     G = min(len(gen_adj), len(gen_spatial))
     Gr = min(len(adj), len(spatial))
@@ -189,13 +204,12 @@ def generation_evaluation(
         max((float(l.max()) for l in ref_lengths), default=0.0),
     )
     el_g = np.stack([
-        np.histogram(np.minimum(_edge_lengths(gen_adj[i], gen_spatial[i]), el_hi),
-                     bins=10, range=(0, el_hi), density=True)[0]
+        _safe_hist(np.minimum(_edge_lengths(gen_adj[i], gen_spatial[i]), el_hi),
+                   10, (0, el_hi))
         for i in range(G)
     ])
     el_r = np.stack([
-        np.histogram(l, bins=10, range=(0, el_hi), density=True)[0]
-        for l in ref_lengths
+        _safe_hist(l, 10, (0, el_hi)) for l in ref_lengths
     ])
 
     spec_g = np.stack([_spectral_hist(a) for a in gen_adj])
@@ -206,8 +220,10 @@ def generation_evaluation(
         "clustering_mmd": gaussian_mmd(clus_g, clus_r),
         "edge_length_mmd": gaussian_mmd(el_g, el_r),
         "spectral_mmd": gaussian_mmd(spec_g, spec_r),
-        "density_gen": float(_off_diag(gen_adj).mean()),
-        "density_ref": float(_off_diag(adj).mean()),
+        # binarized: edge-presence density (scene's labels would otherwise
+        # average relation ids, not edge probability)
+        "density_gen": float((_off_diag(gen_adj) > 0.5).mean()),
+        "density_ref": float((_off_diag(adj) > 0.5).mean()),
     }
 
 

@@ -233,3 +233,20 @@ def test_degree_hist_binarizes_relation_labels():
     a_binary = (a_labeled > 0.5).astype(float)
     np.testing.assert_array_equal(_degree_hist(a_labeled, 4),
                                   _degree_hist(a_binary, 4))
+
+
+def test_generation_evaluation_directed_categorical(rng):
+    """Directed scene-style relation maps (argmax decodes are not symmetric)
+    must yield finite MMDs — directed triangle counts used to push clustering
+    coefficients past 1, emptying the density histogram into NaNs."""
+    G, N = 5, 10
+    gen_adj = rng.integers(0, 5, size=(G, N, N))  # directed, labels 0..4
+    adj = rng.integers(0, 5, size=(G, N, N))
+    for a in (gen_adj, adj):
+        np.einsum("gii->gi", a)[:] = 0
+    feat = np.eye(3)[rng.integers(0, 3, (G, N))]
+    coords = rng.standard_normal((G, N, 3))
+    r = generation_evaluation(gen_adj, feat, coords, adj, feat, coords, "scene")
+    for k, v in r.items():
+        assert np.isfinite(v), (k, v)
+    assert 0.0 <= r["density_gen"] <= 1.0  # binarized, not label means
