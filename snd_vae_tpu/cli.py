@@ -77,6 +77,10 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(reproduce_pairing_skew=True)
     if getattr(args, "normalize_coords", False):
         cfg = cfg.with_(normalize_coords=True)
+    if getattr(args, "scene_node_loss", False):
+        cfg = cfg.with_(loss=cfg.loss.__class__(
+            **{**cfg.loss.__dict__, "scene_node_loss": True}
+        ))
     if getattr(args, "quality", False):
         # applied before the explicit knobs below so e.g. --beta still wins
         cfg = cfg_mod.apply_quality_overrides(cfg)
@@ -349,6 +353,11 @@ def main(argv=None):
                    help="reproduce the reference's spanning-tree/feature "
                         "tile-skew pairing (main.py:307-309 vs :132) for "
                         "data-pipeline parity runs")
+    p.add_argument("--scene-node-loss", action="store_true",
+                   dest="scene_node_loss",
+                   help="corrected mode: train scene's shape head with "
+                        "categorical CE (the reference zeroes scene's node "
+                        "cost, optimizer.py:146-147)")
     p.add_argument("--normalize-coords", action="store_true",
                    dest="normalize_coords",
                    help="affinely map coordinates to the unit box using the "

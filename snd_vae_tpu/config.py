@@ -137,6 +137,10 @@ class LossConfig:
     # (main.py:246-247) but never uses them (optimizer.py:124); we expose the
     # capability behind this switch, defaulting to the reference's 2-class CE.
     use_weighted_bce: bool = False
+    # corrected mode: train scene's shape head with categorical CE.  The
+    # reference zeroes scene's node cost (optimizer.py:146-147) so shape
+    # prediction stays at chance; parity default keeps that behavior.
+    scene_node_loss: bool = False
 
 
 @dataclass(frozen=True)

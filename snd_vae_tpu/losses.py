@@ -188,7 +188,16 @@ def reconstruction_losses(
         adj_cost = edge_categorical_cross_entropy(
             d.adj_prob, adj_true, cfg.decoder.num_edge_feature
         )
-        node_cost = jnp.asarray(0.0)
+        if cfg.loss.scene_node_loss and d.node_feat_prob is not None:
+            # corrected mode: categorical CE over the shape logits.  The
+            # reference zeroes scene's node cost (optimizer.py:146-147), so
+            # its shape head is never trained and predicts at chance.
+            node_cost = -jnp.mean(jnp.sum(
+                node_true * jax.nn.log_softmax(d.node_feat_prob, axis=-1),
+                axis=-1,
+            ))
+        else:
+            node_cost = jnp.asarray(0.0)
     elif cfg.loss.use_weighted_bce:
         if pos_weight is None:
             # derive the class-imbalance stats from the batch on device —
