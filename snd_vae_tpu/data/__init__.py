@@ -1,4 +1,4 @@
-from .graphbatch import GraphBatch, from_numpy
+from .graphbatch import GraphBatch, from_networkx, from_numpy
 from .loaders import (
     load_data_mnist,
     load_data_protein,
@@ -24,6 +24,7 @@ from .transforms import (
 
 __all__ = [
     "GraphBatch",
+    "from_networkx",
     "from_numpy",
     "load_dataset",
     "load_data_syn",

@@ -87,6 +87,32 @@ class GraphBatch:
             rel_samples=take(self.rel_samples),
         )
 
+    def to_networkx(self, index: int):
+        """One graph as a NetworkX graph — interop with the reference's
+        NetworkX-based tooling (input_data.py:9).  Nodes carry ``coords``
+        and ``features`` attributes; edges carry ``label`` (the adjacency
+        value: 1 for binary graphs, the relation id for scene).  Returns a
+        DiGraph when the adjacency is asymmetric, else a Graph; padded
+        nodes (node_mask=0) are dropped."""
+        import networkx as nx
+
+        adj = np.asarray(self.adj[index])
+        coords = np.asarray(self.coords[index])
+        feats = np.asarray(self.features[index])
+        n = adj.shape[0]
+        if self.node_mask is not None:
+            n = int(np.asarray(self.node_mask[index]).sum())
+        adj = adj[:n, :n]
+        directed = not np.allclose(adj, adj.T)
+        g = nx.DiGraph() if directed else nx.Graph()
+        for v in range(n):
+            g.add_node(v, coords=coords[v].copy(), features=feats[v].copy())
+        ii, jj = np.nonzero(adj > 0.5)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            if directed or a < b:
+                g.add_edge(a, b, label=float(adj[a, b]))
+        return g
+
     def astype(self, dtype) -> "GraphBatch":
         cast = lambda x: None if x is None else x.astype(dtype)
         return GraphBatch(
@@ -140,3 +166,44 @@ def from_numpy(
         feat_samples=as_f(feat_samples),
         rel_samples=as_f(rel_samples),
     )
+
+
+def from_networkx(graphs, num_nodes: Optional[int] = None,
+                  dtype=jnp.float32) -> GraphBatch:
+    """Build a GraphBatch from NetworkX graphs whose nodes carry ``coords``
+    (and optionally ``features``) attributes — the inverse of
+    ``GraphBatch.to_networkx``.  Graphs smaller than ``num_nodes`` (default:
+    the largest input) are zero-padded with a matching node_mask; ``rel``
+    is recomputed as pairwise coordinate distances (input_data.py:145-151)."""
+    graphs = list(graphs)
+    n = num_nodes or max(g.number_of_nodes() for g in graphs)
+    first_coords = next(iter(graphs[0].nodes(data="coords")))[1]
+    d = len(np.asarray(first_coords).reshape(-1))
+    f_attr = next(iter(graphs[0].nodes(data="features")))[1]
+    f = 1 if f_attr is None else len(np.asarray(f_attr).reshape(-1))
+
+    B = len(graphs)
+    adj = np.zeros((B, n, n))
+    coords = np.zeros((B, n, d))
+    feats = np.zeros((B, n, f))
+    mask = np.zeros((B, n))
+    for b, g in enumerate(graphs):
+        nodes = list(g.nodes())
+        idx = {v: i for i, v in enumerate(nodes)}
+        for v in nodes:
+            i = idx[v]
+            coords[b, i] = np.asarray(g.nodes[v]["coords"]).reshape(-1)
+            fv = g.nodes[v].get("features")
+            feats[b, i] = 1.0 if fv is None else np.asarray(fv).reshape(-1)
+            mask[b, i] = 1.0
+        for u, v, data in g.edges(data=True):
+            w = float(data.get("label", 1.0))
+            adj[b, idx[u], idx[v]] = w
+            if not g.is_directed():
+                adj[b, idx[v], idx[u]] = w
+    diff = coords[:, :, None, :] - coords[:, None, :, :]
+    rel = np.sqrt((diff * diff).sum(-1))
+    rel *= mask[:, :, None] * mask[:, None, :]
+    all_real = bool(np.all(mask == 1.0))
+    return from_numpy(adj, feats, coords, rel,
+                      node_mask=None if all_real else mask, dtype=dtype)

@@ -310,3 +310,51 @@ def test_scene_loader_fallback():
     assert batch.features.shape == (4, 10, 3)
     # one-hot features
     np.testing.assert_allclose(np.asarray(batch.features).sum(-1), 1.0)
+
+
+def test_networkx_roundtrip():
+    """GraphBatch -> NetworkX -> GraphBatch preserves topology, coordinates,
+    and features (rel is recomputed as pairwise distances)."""
+    from snd_vae_tpu.data.graphbatch import from_networkx
+
+    data = generate_synthetic(3, num_nodes=8, seed=5)
+    batch = from_numpy(data["adj"], data["node"], data["geometry"],
+                       data["rel"])
+    graphs = [batch.to_networkx(i) for i in range(3)]
+    assert graphs[0].number_of_nodes() == 8
+    assert not graphs[0].is_directed()  # synthetic adjacency is symmetric
+
+    rt = from_networkx(graphs)
+    np.testing.assert_allclose(np.asarray(rt.adj), np.asarray(batch.adj))
+    np.testing.assert_allclose(np.asarray(rt.coords), np.asarray(batch.coords),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rt.features),
+                               np.asarray(batch.features), rtol=1e-6)
+    assert rt.node_mask is None  # all graphs full-size -> no padding
+
+
+def test_networkx_directed_and_padded():
+    """Directed relation maps come back as DiGraphs with labels; mixed-size
+    graph lists pad with a node_mask."""
+    import networkx as nx
+    from snd_vae_tpu.data.graphbatch import from_networkx
+
+    g1 = nx.DiGraph()
+    for v, c in enumerate([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]):
+        g1.add_node(v, coords=c, features=[1.0])
+    g1.add_edge(0, 1, label=3.0)
+    g1.add_edge(1, 0, label=2.0)
+    g2 = nx.Graph()
+    for v, c in enumerate([[0.5, 0.5], [1.5, 0.5]]):
+        g2.add_node(v, coords=c, features=[1.0])
+    g2.add_edge(0, 1)
+
+    batch = from_networkx([g1, g2])
+    assert batch.num_nodes == 3
+    assert batch.node_mask is not None
+    np.testing.assert_array_equal(np.asarray(batch.node_mask),
+                                  [[1, 1, 1], [1, 1, 0]])
+    assert float(batch.adj[0, 0, 1]) == 3.0 and float(batch.adj[0, 1, 0]) == 2.0
+    back = batch.to_networkx(0)
+    assert back.is_directed() and back.edges[0, 1]["label"] == 3.0
+    assert batch.to_networkx(1).number_of_nodes() == 2  # padding dropped
