@@ -26,6 +26,7 @@ from .config import Config
 from .data import loaders
 from .evaluate import (
     disentangle_evaluation,
+    edge_presence_scores,
     generation_evaluation,
     reconstruct_evaluation,
 )
@@ -168,11 +169,7 @@ def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
     gen_adj = np.concatenate([o.adj for o in outs])
     gen_nodes = np.concatenate([o.node_feat for o in outs])
     gen_spatial = np.concatenate([o.coords for o in outs])
-    adj_scores = np.concatenate([
-        # 1 - P(class 0): P(edge) for binary logits, P(any relation) for scene
-        1.0 - np.asarray(jax.nn.softmax(o.adj_prob, axis=-1))[..., 0]
-        for o in outs
-    ])
+    adj_scores = np.concatenate([edge_presence_scores(o.adj_prob) for o in outs])
 
     qdir = os.path.join(workdir, "qualitative_evaluation", cfg.dataset)
     os.makedirs(qdir, exist_ok=True)
@@ -191,16 +188,14 @@ def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
         cfg.dataset, adj_scores=adj_scores,
     )
     if batch.factors is not None and zs:
+        z_s, z_g, z_sg = (np.concatenate(zs), np.concatenate(zgs),
+                          np.concatenate(zsgs))
         results.update(
             disentangle_evaluation(
-                np.concatenate(zs), np.concatenate(zgs), np.concatenate(zsgs),
-                np.asarray(batch.factors)[:n_eval], cfg.dataset,
+                z_s, z_g, z_sg, np.asarray(batch.factors)[:n_eval], cfg.dataset,
             )
         )
-        z_all = np.concatenate(
-            [np.concatenate(zs), np.concatenate(zgs), np.concatenate(zsgs)],
-            axis=1,
-        )
+        z_all = np.concatenate([z_s, z_g, z_sg], axis=1)
         visualize_latent_embedding(
             z_all, np.asarray(batch.factors)[: len(z_all)],
             save_path=os.path.join(

@@ -34,6 +34,18 @@ def _off_diag(a: np.ndarray) -> np.ndarray:
     return a[..., mask]
 
 
+def edge_presence_scores(adj_prob) -> np.ndarray:
+    """P(edge present) = 1 − softmax(logits)[..., 0] from the decoder's
+    [..., N, N, C] edge-class logits — P(class 1) for binary heads, "any
+    relation" for scene's K-way heads.  Computed in float64 so bf16 runs
+    don't quantize the AUC/AP ranking (the single shared implementation for
+    the in-training eval and the offline reconstruct eval)."""
+    logits = np.asarray(adj_prob, dtype=np.float64)
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(logits)
+    return 1.0 - e[..., 0] / e.sum(-1)
+
+
 def reconstruct_evaluation(
     gen_adj: np.ndarray,
     gen_nodes: np.ndarray,
@@ -93,8 +105,17 @@ def reconstruct_evaluation(
 # Generation metrics (graph-statistic MMDs)
 # ---------------------------------------------------------------------------
 
+def _sym(adj: np.ndarray) -> np.ndarray:
+    """Binarized, symmetrized adjacency: graph statistics here are
+    undirected concepts, and scene's argmax decodes are directed — without
+    symmetrizing, gen out-degree would be compared against the refs' full
+    degree and lower-triangle-only edges would vanish from edge lengths."""
+    a = (adj > 0.5).astype(np.float64)
+    return np.maximum(a, np.swapaxes(a, -1, -2))
+
+
 def _degree_hist(adj: np.ndarray, bins: int) -> np.ndarray:
-    deg = (adj > 0.5).sum(-1)  # binarize: scene relations carry labels 0..K-1
+    deg = _sym(adj).sum(-1)  # binarize: scene relations carry labels 0..K-1
     h, _ = np.histogram(deg, bins=bins, range=(0, bins), density=True)
     return h
 
@@ -115,8 +136,7 @@ def _clustering_coeffs(adj: np.ndarray) -> np.ndarray:
     inputs (scene's relation maps) are symmetrized first — clustering is an
     undirected statistic and the directed triangle count can exceed the
     undirected denominator."""
-    a = (adj > 0.5).astype(np.float64)
-    a = np.maximum(a, a.T)
+    a = _sym(adj)
     deg = a.sum(-1)
     tri = np.diagonal(a @ a @ a)  # 2x triangles per node
     denom = deg * (deg - 1)
@@ -134,8 +154,7 @@ def _spectral_hist(adj: np.ndarray, bins: int = 10) -> np.ndarray:
     spectrum captures global structure that degree/clustering histograms
     miss (e.g. connectivity, bipartiteness).  Directed inputs are
     symmetrized (eigvalsh requires a symmetric operator)."""
-    a = (adj > 0.5).astype(np.float64)
-    a = np.maximum(a, a.T)
+    a = _sym(adj)
     deg = a.sum(-1)
     with np.errstate(divide="ignore"):
         dinv = np.where(deg > 0, deg**-0.5, 0.0)
@@ -146,7 +165,7 @@ def _spectral_hist(adj: np.ndarray, bins: int = 10) -> np.ndarray:
 
 
 def _edge_lengths(adj: np.ndarray, coords: np.ndarray) -> np.ndarray:
-    i, j = np.nonzero(np.triu(adj > 0.5, 1))
+    i, j = np.nonzero(np.triu(_sym(adj), 1))
     if len(i) == 0:
         return np.zeros(1)
     return np.linalg.norm(coords[i] - coords[j], axis=-1)
@@ -297,11 +316,9 @@ def sap_score(z: np.ndarray, factors: np.ndarray) -> float:
     factor is predictable from ONE latent dimension and not its runner-up.
     """
     z = np.asarray(z, dtype=np.float64).reshape(len(z), -1)
-    f = np.asarray(factors, dtype=np.float64)
-    if f.ndim == 1:
-        f = f[:, None]
+    f = _varying_factors(factors)
     s = _abs_corr(z, f) ** 2  # [L, K] single-latent R²
-    if s.shape[0] < 2:
+    if s.shape[0] < 2 or s.shape[1] == 0:
         return 0.0
     gaps = []
     for k in range(s.shape[1]):
@@ -313,6 +330,17 @@ def sap_score(z: np.ndarray, factors: np.ndarray) -> float:
 def _entropy(p: np.ndarray) -> float:
     p = p[p > 0]
     return float(-(p * np.log(p)).sum())
+
+
+def _varying_factors(factors: np.ndarray) -> np.ndarray:
+    """[n, K'] factor matrix with constant (zero-variance) columns dropped —
+    a dead factor carries no disentanglement signal, and averaging its
+    trivial score into SAP/DCI would silently deflate cross-run
+    comparisons."""
+    f = np.asarray(factors, dtype=np.float64)
+    if f.ndim == 1:
+        f = f[:, None]
+    return f[:, f.std(0) > 1e-12]
 
 
 def _dci_importance(z: np.ndarray, f: np.ndarray) -> np.ndarray:
@@ -349,14 +377,14 @@ def dci_scores(z: np.ndarray, factors: np.ndarray) -> Dict[str, float]:
         checkpoints of the same run).
     """
     z = np.asarray(z, dtype=np.float64).reshape(len(z), -1)
-    f = np.asarray(factors, dtype=np.float64)
-    if f.ndim == 1:
-        f = f[:, None]
+    f = _varying_factors(factors)
     L, K = z.shape[1], f.shape[1]
-    r = _dci_importance(z, f)
-    total = r.sum()
     out = {"dci_disentanglement": 0.0, "dci_completeness": 0.0,
            "dci_informativeness": 0.0}
+    if K == 0:
+        return out
+    r = _dci_importance(z, f)
+    total = r.sum()
     if total <= 0:
         return out
 

@@ -38,8 +38,8 @@ def initialize_distributed(
         from jax._src import distributed as _dist
 
         already = _dist.global_state.client is not None
-    except ImportError:  # moved/removed in a future jax: fall through and
-        already = False  # rely on initialize() raising if double-called
+    except (ImportError, AttributeError):  # module or attrs moved in a
+        already = False  # future jax: rely on initialize() raising if doubled
     if already:
         return jax.process_index()
 

@@ -426,14 +426,9 @@ class Trainer:
         gen_adj = np.concatenate([np.asarray(o.adj) for o in outs])
         gen_nodes = np.concatenate([np.asarray(o.node_feat) for o in outs])
         gen_spatial = np.concatenate([np.asarray(o.coords) for o in outs])
-        # edge-present score = 1 - P(class 0): equals P(class 1) for binary
-        # logits and "any relation" for scene's K-way categorical edges
-        adj_scores = np.concatenate([
-            1.0 - np.asarray(
-                jax.nn.softmax(np.asarray(o.adj_prob, np.float32), axis=-1)
-            )[..., 0]
-            for o in outs
-        ])
+        from .evaluate import edge_presence_scores
+
+        adj_scores = np.concatenate([edge_presence_scores(o.adj_prob) for o in outs])
         n = len(gen_adj)
         return reconstruct_evaluation(
             gen_adj, gen_nodes, gen_spatial,

@@ -33,7 +33,8 @@ def plot_spatial_graph(ax, adj: np.ndarray, coords: np.ndarray,
     adj = np.asarray(adj)
     coords = np.asarray(coords)
     xy = coords[:, :2]
-    i, j = np.nonzero(np.triu(adj > 0.5, 1))
+    a = adj > 0.5
+    i, j = np.nonzero(np.triu(a | a.T, 1))  # draw directed edges too
     for a, b in zip(i, j):
         ax.plot([xy[a, 0], xy[b, 0]], [xy[a, 1], xy[b, 1]],
                 color="0.6", linewidth=0.8, zorder=1)
@@ -132,6 +133,8 @@ def visualize_latent_embedding(
     # rank-2 PCA: right singular vectors of the centered code matrix
     _, _, vt = np.linalg.svd(zc, full_matrices=False)
     xy = zc @ vt[:2].T
+    if xy.shape[1] < 2:  # 1-d codes (or a single sample): pad a zero PC2
+        xy = np.concatenate([xy, np.zeros((len(xy), 2 - xy.shape[1]))], axis=1)
 
     f = None
     if factors is not None:

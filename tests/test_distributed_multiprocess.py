@@ -69,7 +69,11 @@ print(f"WORKERLOSS {pid} {loss:.10f}", flush=True)
 
 @pytest.mark.slow
 def test_two_process_data_parallel_step(tmp_path):
-    port = 12391
+    import socket
+
+    with socket.socket() as s:  # ephemeral port: avoids TIME_WAIT flakes
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.replace("%PORT%", str(port)))
     env = dict(os.environ)

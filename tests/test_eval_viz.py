@@ -250,3 +250,51 @@ def test_generation_evaluation_directed_categorical(rng):
     for k, v in r.items():
         assert np.isfinite(v), (k, v)
     assert 0.0 <= r["density_gen"] <= 1.0  # binarized, not label means
+
+
+def test_directed_edges_counted_in_statistics():
+    """Lower-triangle-only (directed) edges must reach the edge-length and
+    degree statistics — the statistics symmetrize, matching clustering and
+    spectral."""
+    from snd_vae_tpu.evaluate import _degree_hist, _edge_lengths
+
+    adj = np.zeros((4, 4))
+    adj[2, 0] = 1.0  # only below the diagonal
+    coords = np.eye(4, 3)
+    lengths = _edge_lengths(adj, coords)
+    assert len(lengths) == 1 and lengths[0] > 0  # not the zeros(1) sentinel
+    np.testing.assert_array_equal(_degree_hist(adj, 4),
+                                  _degree_hist(adj.T, 4))
+
+
+def test_sap_dci_skip_constant_factors(rng):
+    """A zero-variance factor column must not deflate SAP/DCI."""
+    from snd_vae_tpu.evaluate import dci_scores, sap_score
+
+    f = rng.standard_normal((200, 2))
+    z = np.concatenate([f, 0.01 * rng.standard_normal((200, 2))], axis=1)
+    f_dead = np.concatenate([f, np.full((200, 1), 7.0)], axis=1)
+    assert sap_score(z, f_dead) == pytest.approx(sap_score(z, f))
+    d, d_dead = dci_scores(z, f), dci_scores(z, f_dead)
+    for k in d:
+        assert d_dead[k] == pytest.approx(d[k])
+
+
+def test_visualize_latent_embedding_rank1(tmp_path, rng):
+    """1-d codes must plot (zero-padded PC2), not crash."""
+    from snd_vae_tpu.visualize import visualize_latent_embedding
+
+    visualize_latent_embedding(rng.standard_normal((20, 1)),
+                               save_path=str(tmp_path / "r1.png"))
+    assert (tmp_path / "r1.png").exists()
+
+
+def test_edge_presence_scores_matches_softmax(rng):
+    from snd_vae_tpu.evaluate import edge_presence_scores
+
+    logits = rng.standard_normal((2, 4, 4, 5))
+    p = edge_presence_scores(logits)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    expect = 1.0 - e[..., 0] / e.sum(-1)
+    np.testing.assert_allclose(p, expect, rtol=1e-12)
+    assert np.all((p >= 0) & (p <= 1))
