@@ -82,6 +82,15 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(loss=cfg.loss.__class__(
             **{**cfg.loss.__dict__, "scene_node_loss": True}
         ))
+    lat_over = {
+        k: getattr(args, k)
+        for k in ("s_latent_size", "g_latent_size", "sg_latent_size")
+        if getattr(args, k, None) is not None
+    }
+    if lat_over:
+        cfg = cfg.with_(encoder=cfg.encoder.__class__(
+            **{**cfg.encoder.__dict__, **lat_over}
+        ))
     if getattr(args, "quality", False):
         # applied before the explicit knobs below so e.g. --beta still wins
         cfg = cfg_mod.apply_quality_overrides(cfg)
@@ -309,7 +318,7 @@ def run_sweep(cfg: Config, workdir: str, epochs: Optional[int] = None) -> Dict:
     return results
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="SND-VAE TPU experiment driver")
     p.add_argument("--dataset", default="synthetic2", choices=list(cfg_mod.PRESETS))
     p.add_argument("--model-type", default=None, choices=list(cfg_mod.MODEL_TYPES))
@@ -348,6 +357,16 @@ def main(argv=None):
                    help="reproduce the reference's spanning-tree/feature "
                         "tile-skew pairing (main.py:307-309 vs :132) for "
                         "data-pipeline parity runs")
+    p.add_argument("--s-latent-size", type=int, default=None,
+                   dest="s_latent_size",
+                   help="spatial-branch latent width (reference flag "
+                        "s_latent_size, main.py:47)")
+    p.add_argument("--g-latent-size", type=int, default=None,
+                   dest="g_latent_size",
+                   help="topology-branch latent width (main.py:52)")
+    p.add_argument("--sg-latent-size", type=int, default=None,
+                   dest="sg_latent_size",
+                   help="joint-branch latent width (main.py:57)")
     p.add_argument("--scene-node-loss", action="store_true",
                    dest="scene_node_loss",
                    help="corrected mode: train scene's shape head with "
@@ -403,7 +422,11 @@ def main(argv=None):
                         "host CPU (set in-process — env vars are too late "
                         "once sitecustomize has imported jax); 'auto' keeps "
                         "the default backend (the TPU when available)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     if args.platform == "cpu":
         # must precede the first backend touch; backend init is lazy, so an

@@ -162,3 +162,18 @@ def test_run_train_dumps_resolved_config(tmp_path):
     assert dumped["dataset"] == cfg.dataset
     assert dumped["train"]["batch_size"] == cfg.train.batch_size
     assert dumped["encoder"]["sg_latent_size"] == cfg.encoder.sg_latent_size
+
+
+def test_latent_size_flags():
+    """--s/g/sg-latent-size override the preset encoder widths (reference
+    flags main.py:47,52,57)."""
+    from snd_vae_tpu.config import preset
+
+    ns = cli.build_parser().parse_args([
+        "--dataset", "synthetic2", "--s-latent-size", "7",
+        "--sg-latent-size", "64",
+    ])
+    cfg = cli._build_cfg(ns)
+    assert cfg.encoder.s_latent_size == 7
+    assert cfg.encoder.sg_latent_size == 64
+    assert cfg.encoder.g_latent_size == preset("synthetic2").encoder.g_latent_size
