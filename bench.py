@@ -67,8 +67,16 @@ def _run():
 
     # bfloat16 compute with f32 master params and f32 ELBO accumulation —
     # the standard TPU mixed-precision mode; measured 1.8x over f32 at this
-    # operating point (BASELINE.md records both).
+    # operating point (BASELINE.md records both).  scan_unroll=4: the N=25
+    # step is latency-bound on its sequential kernel chain, so unrolling the
+    # batch scan lets XLA schedule across step boundaries — +3% measured
+    # (benchmarks/scan_unroll_bench.py; 8 and 20 regress, so 4 is the peak).
+    import dataclasses
+
     cfg = synthetic2_preset(compute_dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, scan_unroll=4)
+    )
     B = cfg.train.batch_size  # 10 graphs x sampling_num=10 trees
     data = loaders.load_dataset(cfg, "train", num_graphs=NUM_GRAPHS)
     batched = rebatch(data, B)

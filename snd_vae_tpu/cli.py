@@ -54,6 +54,8 @@ def _build_cfg(args) -> Config:
         train_over["eval_every"] = args.eval_every
     if getattr(args, "best_metric", None):
         train_over["best_metric"] = args.best_metric
+    if getattr(args, "scan_unroll", 1) != 1:
+        train_over["scan_unroll"] = args.scan_unroll
     if train_over:
         over["train"] = cfg.train.__class__(**{**cfg.train.__dict__, **train_over})
     if args.dataset_path:
@@ -401,6 +403,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh size (wide kernels over 'model')")
     p.add_argument("--epoch-chunk", type=int, default=1, dest="epoch_chunk",
                    help="epochs per device dispatch (amortizes dispatch latency)")
+    p.add_argument("--scan-unroll", type=int, default=1, dest="scan_unroll",
+                   help="unroll factor of the per-batch scan in the epoch "
+                        "programs; 4 wins ~3%% at latency-bound toy shapes "
+                        "(benchmarks/scan_unroll_bench.py) at a compile-time "
+                        "cost — leave 1 for MXU-scale N")
     p.add_argument("--traverse-mode", default="generation", dest="traverse_mode",
                    choices=["generation", "single", "latent"],
                    help="test_disentangle sweep: 3-group 'generation' "

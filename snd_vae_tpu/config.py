@@ -180,6 +180,14 @@ class TrainConfig:
     # watched held-out metric for best-checkpoint tracking.  Maximized by
     # default (edge_auc); prefix "-" to minimize (e.g. "-spatial_mse").
     best_metric: str = "edge_auc"
+    # unroll factor of the per-batch lax.scan inside the epoch/chunk
+    # programs.  At toy shapes (N=25) each step is ~1 ms of tiny ops, so
+    # unrolling lets XLA schedule across step boundaries; measured on the
+    # v5e at the reference operating point (benchmarks/scan_unroll_bench.py):
+    # 1->8513, 2->8563, 4->8764 (+3%), 8->7972, 20->7661 graphs/s.  Default
+    # stays 1 (compile time grows ~12x at unroll 4 and the win vanishes at
+    # MXU-scale shapes); bench.py sets 4 at its fixed operating point.
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

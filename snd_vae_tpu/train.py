@@ -180,7 +180,9 @@ def make_epoch_step(
     def epoch_step(state: TrainState, batched: GraphBatch):
         nb = jnp.asarray(batched.adj.shape[0], jnp.int32)
         batched = _maybe_reshuffle(cfg, state, batched)
-        (state, _), aux = jax.lax.scan(one_step, (state, nb), batched)
+        (state, _), aux = jax.lax.scan(
+            one_step, (state, nb), batched, unroll=cfg.train.scan_unroll
+        )
         return state, aux  # aux leaves have a leading [num_batches] axis
 
     return jax.jit(epoch_step, donate_argnums=(0,))
@@ -210,7 +212,9 @@ def make_multi_epoch_step(
 
         def epoch_body(st, _):
             shuffled = _maybe_reshuffle(cfg, st, batched)
-            (st, _), aux = jax.lax.scan(one_step, (st, nb), shuffled)
+            (st, _), aux = jax.lax.scan(
+                one_step, (st, nb), shuffled, unroll=cfg.train.scan_unroll
+            )
             return st, jax.tree.map(lambda a: jnp.mean(a, axis=0), aux)
 
         state, means = jax.lax.scan(epoch_body, state, None, length=num_epochs)

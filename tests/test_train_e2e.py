@@ -259,6 +259,41 @@ def test_multi_epoch_scan_matches_epoch_steps(key):
     )
 
 
+def test_scan_unroll_matches_rolled(key):
+    """scan_unroll replicates the step body without changing the math: the
+    unrolled epoch program reproduces the rolled one's trajectory (same ops,
+    different schedule — f32 on CPU leaves only reassociation-level noise)."""
+    import dataclasses
+
+    from snd_vae_tpu.train import make_epoch_step, rebatch
+
+    cfg = tiny_cfg()
+    data = loaders.load_dataset(cfg, "train", num_graphs=8)
+    batched = rebatch(data, cfg.train.batch_size)
+    opt = make_optimizer(cfg)
+
+    model, state_a = init_state(cfg, data)
+    _, state_b = init_state(cfg, data)
+    rolled = make_epoch_step(cfg, model, opt)
+    cfg_u = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, scan_unroll=2)
+    )
+    unrolled = make_epoch_step(cfg_u, model, opt)
+
+    for _ in range(3):
+        state_a, aux_a = rolled(state_a, batched)
+        state_b, aux_b = unrolled(state_b, batched)
+    np.testing.assert_allclose(
+        np.asarray(aux_a["loss"]), np.asarray(aux_b["loss"]), rtol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        jax.device_get(state_a.params), jax.device_get(state_b.params),
+    )
+
+
 def test_trainer_chunked_run(tmp_path):
     """The epoch_chunk path trains, logs every epoch, and checkpoints on the
     same cadence as the per-epoch path."""
