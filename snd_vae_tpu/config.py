@@ -116,6 +116,19 @@ class DecoderConfig:
     # (BASELINE.md "mnist caveats"); coord_activation="linear" is the
     # corrected-mode fix.
     coord_activation: str = "auto"
+    # lowering of the adjacency head's FIRST edge-to-edge layer.  Its input
+    # is a pairwise tile-concat of per-node states (model.py:196-198), which
+    # stays channel-separable through the BN+relu in front of the conv — so
+    # the O(B·N³·C·O) contraction collapses algebraically to O(B·N²·C·O)
+    # matmuls plus a length-N 1-D conv, and the [B,N,N,2C] input map (the
+    # decoder's widest intermediate) is never materialized
+    # (nn/edge_conv.py::E2E._separable; float64-proven equal to the dense
+    # formula).  None = auto: engage at num_nodes ≥ 96, the same measured
+    # family of crossovers as the E2E Toeplitz-matmul lowering.  True/False
+    # force it.  Identical parameters and math either way.
+    adj_head_factored: Optional[bool] = None
+    # auto-engage threshold for the factored first layer
+    adj_factored_min_nodes: int = 96
 
 
 @dataclass(frozen=True)
@@ -270,6 +283,14 @@ class Config:
     @property
     def pallas_engaged(self) -> bool:
         return self.use_pallas and self.num_nodes >= self.pallas_min_nodes
+
+    @property
+    def adj_factored_engaged(self) -> bool:
+        """Whether the adjacency head's first E2E layer uses the separable
+        lowering (DecoderConfig.adj_head_factored; auto by node count)."""
+        if self.decoder.adj_head_factored is not None:
+            return self.decoder.adj_head_factored
+        return self.num_nodes >= self.decoder.adj_factored_min_nodes
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:

@@ -111,7 +111,14 @@ class DisentangledSNDVAE(nn.Module):
         self.d_n_lin2 = ops.Dense(cfg.num_features)
 
         self.e_deconvs = [ops.E2E(h, k_h=N) for h in dec.e_d_hidden]
-        self.d_bn_e = [norm() for _ in dec.e_d_hidden]
+        # the first adjacency BN normalizes the (possibly never-materialized)
+        # tile-concat map: fix its width so the factored head can apply it
+        # per channel block (E2E._separable)
+        c_pair = 2 * (2 * dec.node_h_size) + (1 if dec.edge_from_coords else 0)
+        self.d_bn_e = [
+            ops.make_norm(cfg.parity, features=c_pair if i == 0 else None)
+            for i in range(len(dec.e_d_hidden))
+        ]
         self.decoder_adj_bn = norm()
         self.d_e_lin2 = ops.Dense(2)
 
@@ -292,19 +299,38 @@ class DisentangledSNDVAE(nn.Module):
     def _adj_head(self, z_sg_g: jax.Array, coords: jax.Array) -> jax.Array:
         """Pairwise tile-concat + E2E stack + diag mask (model.py:196-208).
         The [B,N,N,2C] pairwise map is row-blocked on nodes under an ambient
-        mesh (parallel/hints.py)."""
+        mesh (parallel/hints.py).
+
+        When ``cfg.adj_factored_engaged`` (auto at large N) the first E2E
+        layer runs in its separable lowering: the tile-concat map stays
+        channel-separable through the per-channel BN+relu, so it is never
+        materialized and the first layer's N³ contraction collapses to N²
+        matmuls (E2E._separable; identical parameters and math)."""
         cfg, dec = self.cfg, self.cfg.decoder
         B, N = z_sg_g.shape[0], cfg.num_nodes
-        t1 = jnp.broadcast_to(z_sg_g[:, :, None, :], (B, N, N, z_sg_g.shape[-1]))
-        t2 = jnp.broadcast_to(z_sg_g[:, None, :, :], (B, N, N, z_sg_g.shape[-1]))
-        parts = [t1, t2]
-        if dec.edge_from_coords:
-            # corrected mode: decoded-coordinate pairwise distances as an
-            # extra edge channel (spatial-network edges are distance-
-            # dependent; the reference's head is latent-only)
-            parts.append(edge_distance_channel(cfg, coords, t1.dtype))
-        t = ops.shard_nodes(jnp.concatenate(parts, axis=-1), tag="dec.pair")
-        for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
+        if cfg.adj_factored_engaged and self.e_deconvs:
+            C = z_sg_g.shape[-1]
+            bn0 = self.d_bn_e[0]
+            p = jax.nn.relu(bn0(z_sg_g, block=(0, C)))
+            q = jax.nn.relu(bn0(z_sg_g, block=(C, 2 * C)))
+            d = None
+            if dec.edge_from_coords:
+                dch = edge_distance_channel(cfg, coords, z_sg_g.dtype)
+                d = jax.nn.relu(bn0(dch, block=(2 * C, 2 * C + dch.shape[-1])))
+            t = self.e_deconvs[0](factors=(p, q, d))
+            layers = zip(self.e_deconvs[1:], self.d_bn_e[1:])
+        else:
+            t1 = jnp.broadcast_to(z_sg_g[:, :, None, :], (B, N, N, z_sg_g.shape[-1]))
+            t2 = jnp.broadcast_to(z_sg_g[:, None, :, :], (B, N, N, z_sg_g.shape[-1]))
+            parts = [t1, t2]
+            if dec.edge_from_coords:
+                # corrected mode: decoded-coordinate pairwise distances as an
+                # extra edge channel (spatial-network edges are distance-
+                # dependent; the reference's head is latent-only)
+                parts.append(edge_distance_channel(cfg, coords, t1.dtype))
+            t = ops.shard_nodes(jnp.concatenate(parts, axis=-1), tag="dec.pair")
+            layers = zip(self.e_deconvs, self.d_bn_e)
+        for e2e, bn in layers:
             t = bn(t)
             t = e2e(jax.nn.relu(t))
         t = self.decoder_adj_bn(t)

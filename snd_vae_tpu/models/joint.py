@@ -74,7 +74,13 @@ class JointSNDVAE(nn.Module):
         self.d_n_lin2 = ops.Dense(cfg.num_features)
 
         self.e_deconvs = [ops.E2E(h, k_h=N) for h in dec.e_d_hidden]
-        self.d_bn_e = [norm() for _ in dec.e_d_hidden]
+        # fixed-width first BN so the factored head can apply it per channel
+        # block without materializing the tile-concat map (E2E._separable)
+        c_pair = 2 * dec.node_h_size + (1 if dec.edge_from_coords else 0)
+        self.d_bn_e = [
+            ops.make_norm(cfg.parity, features=c_pair if i == 0 else None)
+            for i in range(len(dec.e_d_hidden))
+        ]
         self.d_e_lin2 = ops.Dense(dec.num_edge_feature)
 
     # ------------------------------------------------------------------ #
@@ -191,15 +197,30 @@ class JointSNDVAE(nn.Module):
         model_joint.py:164-179)."""
         cfg, dec = self.cfg, self.cfg.decoder
         B, N = joint_h.shape[0], cfg.num_nodes
-        t1 = jnp.broadcast_to(joint_h[:, :, None, :], (B, N, N, joint_h.shape[-1]))
-        t2 = jnp.broadcast_to(joint_h[:, None, :, :], (B, N, N, joint_h.shape[-1]))
-        parts = [t1, t2]
-        if dec.edge_from_coords:
-            # corrected mode: decoded-coordinate distances as an edge channel
-            # (see DecoderConfig.edge_from_coords)
-            parts.append(edge_distance_channel(cfg, coords, t1.dtype))
-        t = jnp.concatenate(parts, axis=-1)
-        for e2e, bn in zip(self.e_deconvs, self.d_bn_e):
+        if cfg.adj_factored_engaged and self.e_deconvs:
+            # separable lowering of the first E2E: the tile-concat map is
+            # never materialized (see DisentangledSNDVAE._adj_head)
+            C = joint_h.shape[-1]
+            bn0 = self.d_bn_e[0]
+            p = jax.nn.relu(bn0(joint_h, block=(0, C)))
+            q = jax.nn.relu(bn0(joint_h, block=(C, 2 * C)))
+            d = None
+            if dec.edge_from_coords:
+                dch = edge_distance_channel(cfg, coords, joint_h.dtype)
+                d = jax.nn.relu(bn0(dch, block=(2 * C, 2 * C + dch.shape[-1])))
+            t = self.e_deconvs[0](factors=(p, q, d))
+            layers = zip(self.e_deconvs[1:], self.d_bn_e[1:])
+        else:
+            t1 = jnp.broadcast_to(joint_h[:, :, None, :], (B, N, N, joint_h.shape[-1]))
+            t2 = jnp.broadcast_to(joint_h[:, None, :, :], (B, N, N, joint_h.shape[-1]))
+            parts = [t1, t2]
+            if dec.edge_from_coords:
+                # corrected mode: decoded-coordinate distances as an edge
+                # channel (see DecoderConfig.edge_from_coords)
+                parts.append(edge_distance_channel(cfg, coords, t1.dtype))
+            t = jnp.concatenate(parts, axis=-1)
+            layers = zip(self.e_deconvs, self.d_bn_e)
+        for e2e, bn in layers:
             t = bn(t)
             t = e2e(jax.nn.relu(t))
         logits = self.d_e_lin2(jax.nn.relu(t).reshape(B * N * N, -1)).reshape(

@@ -95,15 +95,29 @@ class FrozenBatchNorm(nn.Module):
     y = gamma * x / sqrt(1 + eps) + beta, trainable gamma/beta, over the last
     axis — exactly what the reference's BN layers compute in TF1 graph mode
     without ``training=True`` (SURVEY §7 quirk 3).
+
+    ``features`` fixes the parameter width up front; ``block=(lo, hi)`` then
+    applies the layer to an input that represents only channels [lo, hi) of
+    the full width — how the decoders' factored adjacency head normalizes
+    the tile-concat map's channel blocks without materializing the map
+    (nn/edge_conv.py::E2E._separable).  Per-channel affine, so block
+    application is trivially exact.
     """
 
     epsilon: float = 1e-3
+    features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+    def __call__(
+        self, x: jnp.ndarray, block: Optional[Tuple[int, int]] = None
+    ) -> jnp.ndarray:
+        c = self.features if self.features is not None else x.shape[-1]
         gamma = self.param("gamma", inits.ones, (c,))
         beta = self.param("beta", inits.zeros, (c,))
+        if block is not None:
+            lo, hi = block
+            assert hi - lo == x.shape[-1], (block, x.shape)
+            gamma, beta = gamma[lo:hi], beta[lo:hi]
         scale = gamma * jax.lax.rsqrt(jnp.asarray(1.0 + self.epsilon, x.dtype))
         return x * scale + beta
 
@@ -111,15 +125,29 @@ class FrozenBatchNorm(nn.Module):
 class BatchStatNorm(nn.Module):
     """Corrected batch norm: normalize with current batch statistics over all
     axes but the last, trainable gamma/beta.  Stateless (functional) variant
-    for the non-parity mode."""
+    for the non-parity mode.
+
+    ``block`` as in FrozenBatchNorm.  Block application is exact here too:
+    the factored head's channel blocks are constant along the broadcast node
+    axis, so their mean/variance over the factor's own axes equal the
+    statistics over the full [B,N,N] map (averaging a value replicated N
+    times changes neither moment).
+    """
 
     epsilon: float = 1e-3
+    features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+    def __call__(
+        self, x: jnp.ndarray, block: Optional[Tuple[int, int]] = None
+    ) -> jnp.ndarray:
+        c = self.features if self.features is not None else x.shape[-1]
         gamma = self.param("gamma", inits.ones, (c,))
         beta = self.param("beta", inits.zeros, (c,))
+        if block is not None:
+            lo, hi = block
+            assert hi - lo == x.shape[-1], (block, x.shape)
+            gamma, beta = gamma[lo:hi], beta[lo:hi]
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes, keepdims=True)
         var = jnp.var(x, axis=axes, keepdims=True)
@@ -127,8 +155,12 @@ class BatchStatNorm(nn.Module):
         return y * gamma + beta
 
 
-def make_norm(parity: bool = True, epsilon: float = 1e-3) -> nn.Module:
-    return FrozenBatchNorm(epsilon=epsilon) if parity else BatchStatNorm(epsilon=epsilon)
+def make_norm(
+    parity: bool = True, epsilon: float = 1e-3, features: Optional[int] = None
+) -> nn.Module:
+    if parity:
+        return FrozenBatchNorm(epsilon=epsilon, features=features)
+    return BatchStatNorm(epsilon=epsilon, features=features)
 
 
 def dropout(

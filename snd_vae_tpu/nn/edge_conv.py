@@ -71,7 +71,7 @@ class E2E(nn.Module):
     """Edge-to-edge conv (layers.py:431-450): row conv + column conv with the
     spatially transposed *same* weights and *same* bias, summed.
 
-    Two numerically identical lowerings:
+    Three numerically identical lowerings:
 
       * small maps — ``lax.conv`` directly (the reference's tf.nn.conv2d
         semantics; fine when the window is small);
@@ -83,6 +83,18 @@ class E2E(nn.Module):
         ``[B·N, N·C] @ [N·C, N·O]`` matmul runs at MXU rates: measured
         347 ms → ~17 ms for the decoder adjacency head at N=512
         (BASELINE.md).  Same FLOPs, same result — only the lowering changes.
+      * **separable inputs** (``factors=(P, Q, D)``) — when the input map is
+        a pairwise tile-concat ``t[b,i,j] = [P[b,i], Q[b,j], D[b,i,j]]``
+        (exactly what the decoders' first adjacency layer consumes,
+        model.py:196-198: every per-channel op between the concat and the
+        E2E preserves the structure), the O(B·N³·C·O) contraction collapses
+        algebraically: the window sum over a channel constant along the
+        window is (Σ_t K[t,j])·P — one O(B·N²·C·O) matmul against the
+        per-position kernel sums — and the cross term is a plain length-N
+        1-D conv.  Only the genuinely pairwise channels ``D`` (e.g. the
+        edge_from_coords distance channel, 1 of ~80 channels) keep the N³
+        conv.  An N-fold FLOP cut on the widest decoder layer, and the
+        [B,N,N,2C] input map is never materialized.
     """
 
     features: int
@@ -98,12 +110,27 @@ class E2E(nn.Module):
     matmul_max_bytes: int = 2 << 30
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray] = None,
+        *,
+        factors: Optional[Tuple] = None,
+    ) -> jnp.ndarray:
+        if factors is not None:
+            assert x is None, "pass either a dense map or factors, not both"
+            P, Q, D = factors
+            c_in = P.shape[-1] + Q.shape[-1] + (
+                D.shape[-1] if D is not None else 0
+            )
+        else:
+            c_in = x.shape[-1]
         w1 = self.param(
             "w1", inits.truncated_normal(self.stddev),
-            (1, self.k_h, x.shape[-1], self.features),
+            (1, self.k_h, c_in, self.features),
         )
         b1 = self.param("biases1", inits.zeros, (self.features,))
+        if factors is not None:
+            return self._separable(P, Q, D, w1, b1)
         if self.use_matmul is not None:
             matmul = self.use_matmul
         else:
@@ -144,6 +171,60 @@ class E2E(nn.Module):
         conv1 = _conv2d(x, w1, "SAME") + b1
         conv2 = _conv2d(x, jnp.transpose(w1, (1, 0, 2, 3)), "SAME") + b1
         return conv1 + conv2
+
+    def _separable(self, P, Q, D, w1, b1):
+        """E2E over the *implicit* map t[b,i,j] = [P[b,i], Q[b,j], D[b,i,j]].
+
+        Exactly ``__call__(concat([bcast(P), bcast(Q), D], -1))`` — proven
+        equal in float64 by tests/test_edge_factored.py — without building
+        the [B,N,N,cP+cQ] map.  Derivation: the row conv's window sum over a
+        channel that is constant along the window (the P block) collapses to
+        ``P[b,i,:] @ S[j]`` where ``S[j,c,o] = Σ_{k∈window(j)} w[k,c,o]``
+        (per-position kernel sums, O(N·C·O)); its sum over the Q block is a
+        plain SAME 1-D conv of Q broadcast over rows; and symmetrically for
+        the column conv.  Cost drops from O(B·N³·(cP+cQ)·O) to
+        O(B·N²·(cP+cQ)·O); only D (the genuinely pairwise channels) keeps
+        its N³ conv.
+        """
+        W = P.shape[1]
+        assert Q.shape[1] == W, (P.shape, Q.shape)
+        k_h = self.k_h
+        pl = (k_h - 1) // 2
+        cP, cQ = P.shape[-1], Q.shape[-1]
+        dt = P.dtype
+        acc = _acc_dtype(dt)
+        # per-position kernel window sums via a cumulative sum, accumulated
+        # at least in f32 (a bf16 cumsum over k_h terms would reassociate
+        # too coarsely; f64 params stay f64 for the oracle tests)
+        w = w1[0].astype(_acc_dtype(w1.dtype))              # [k_h, C, O]
+        ar = jnp.arange(W)
+        lo = jnp.maximum(0, pl - ar)                        # first valid tap
+        hi = jnp.minimum(k_h - 1, W - 1 - ar + pl)          # last valid tap
+        cs = jnp.concatenate([jnp.zeros_like(w[:1]), jnp.cumsum(w, axis=0)], 0)
+        S = (jnp.take(cs, hi + 1, axis=0) - jnp.take(cs, lo, axis=0)).astype(dt)
+        SP, SQ = S[:, :cP], S[:, cP:cP + cQ]
+        wP = w1[0, :, :cP].astype(dt)                       # [k_h, cP, O]
+        wQ = w1[0, :, cP:cP + cQ].astype(dt)
+
+        # row conv  = P[b,i]·SP[j] + conv1d(Q)[b,j]
+        # col conv  = conv1d(P)[b,i] + Q[b,j]·SQ[i]
+        y = jnp.einsum("bic,jco->bijo", P, SP, preferred_element_type=acc)
+        y = y + jnp.einsum("bjc,ico->bijo", Q, SQ, preferred_element_type=acc)
+        nwc = ("NWC", "WIO", "NWC")
+        convQ = jax.lax.conv_general_dilated(
+            Q, wQ, (1,), "SAME", dimension_numbers=nwc
+        ).astype(acc)
+        convP = jax.lax.conv_general_dilated(
+            P, wP, (1,), "SAME", dimension_numbers=nwc
+        ).astype(acc)
+        y = y + convQ[:, None, :, :] + convP[:, :, None, :]
+        if D is not None:
+            wD = w1[0:1, :, cP + cQ:, :].astype(dt)         # [1, k_h, d, O]
+            Dx = shard_nodes(D, tag="e2e.sepD")
+            y = y + _conv2d(Dx, wD, "SAME").astype(acc)
+            y = y + _conv2d(Dx, jnp.transpose(wD, (1, 0, 2, 3)), "SAME").astype(acc)
+        y = (y + 2.0 * b1.astype(acc)).astype(dt)
+        return shard_nodes(y, tag="e2e.sep")
 
 
 class E2N(nn.Module):
