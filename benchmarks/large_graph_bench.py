@@ -19,6 +19,7 @@ Prints one JSON line per configuration.  Not the driver benchmark
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -214,6 +215,55 @@ def bench_full_train_pallas():
         }), flush=True)
 
 
+def bench_full_train_factored():
+    """Full-train protocol comparing the adjacency head's dense first-E2E
+    lowering against the separable one (DecoderConfig.adj_head_factored;
+    nn/edge_conv.py::E2E._separable).  Same parameters, same math — the
+    separable form collapses the first layer's O(B N^3 C O) contraction to
+    O(B N^2 C O) and never materializes the [B,N,N,2C] tile-concat map (the
+    decoder's widest intermediate and the N=1024 spill driver)."""
+    from snd_vae_tpu.config import synthetic2_preset
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import (
+        init_state, make_epoch_step, make_optimizer, rebatch,
+    )
+
+    shapes = ((100, 30), (256, 15), (512, 6), (1024, 2))
+    for n, reps in shapes:
+        for factored in (False, True):
+            cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+                num_nodes=n, sampling_num=2,
+            )
+            cfg = cfg.with_(
+                train=cfg.train.__class__(batch_size=2),
+                decoder=dataclasses.replace(
+                    cfg.decoder, adj_head_factored=factored
+                ),
+            )
+            data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+            batched = rebatch(data, 2)
+            model, state = init_state(cfg, data)
+            step = make_epoch_step(cfg, model, make_optimizer(cfg))
+
+            state, aux = step(state, batched)
+            jax.device_get(aux["loss"])          # compile + warm
+            t0 = time.perf_counter()
+            state, aux = step(state, batched)
+            jax.device_get(aux["loss"])
+            dt = (time.perf_counter() - t0) / reps
+            row = {
+                "bench": "full_train_factored", "n": n, "batch_graphs": 2,
+                "adj_head_factored": factored,
+                "ms_per_step": round(dt * 1e3, 2),
+                "graphs_per_sec": round(2.0 / dt, 1),
+            }
+            flops = _step_flops(cfg, model, state, batched)
+            if flops > 0:
+                row["flops_per_step"] = flops
+                row["mfu"] = round(flops / dt / PEAK_FLOPS, 4)
+            print(json.dumps(row), flush=True)
+
+
 def bench_full_train_remat():
     """Full-train protocol at and beyond the single-chip HBM frontier, with
     and without cfg.remat (jax.checkpoint over the motif convs + the whole
@@ -304,6 +354,7 @@ if __name__ == "__main__":
         "spatial_conv": bench_spatial_conv,
         "full_train": bench_full_train,
         "full_train_pallas": bench_full_train_pallas,
+        "full_train_factored": bench_full_train_factored,
         "full_train_remat": bench_full_train_remat,
         "full_train_3d": bench_full_train_3d,
     }

@@ -196,6 +196,32 @@ def test_e2e_toeplitz_path_partitioned(inspect_hints):
                                rtol=2e-5, atol=1e-5)
 
 
+def test_e2e_separable_path_partitioned(inspect_hints):
+    """The factored first-E2E lowering keeps its [B,N,N,O] output node-
+    sharded (the N² einsums and 1-D convs feed a row-blocked map)."""
+    from snd_vae_tpu.nn import E2E
+
+    mesh = pmesh.make_mesh(1, 8)
+    rng = np.random.default_rng(0)
+    P = jnp.asarray(rng.normal(size=(2, 32, 4)), jnp.float32)
+    Q = jnp.asarray(rng.normal(size=(2, 32, 4)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
+    mod = E2E(features=4, k_h=32)
+    v = mod.init(jax.random.PRNGKey(0), factors=(P, Q, D))
+
+    ref = jax.jit(lambda p, a, b, d: mod.apply(p, factors=(a, b, d)))(v, P, Q, D)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p, a, b, d: mod.apply(p, factors=(a, b, d)))(
+            v, P, Q, D
+        )
+
+    sharded = _sharded_specs(inspect_hints)
+    assert sharded.get("e2e.sep"), f"factored output not partitioned: {sharded}"
+    assert sharded.get("e2e.sepD"), f"distance map not partitioned: {sharded}"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_large_n_flagship_step_on_mesh():
     """The full disentangled model — motif encoder + three-headed decoder —
     steps at N=1024 (20x the reference's largest N=50, layers.py:200-277
