@@ -31,6 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from snd_vae_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from snd_vae_tpu.nn.basic import lrelu
 from snd_vae_tpu.nn.pallas import blocked_adj_matmul
 from snd_vae_tpu.nn.spatial_conv import SpatialGraphConv
