@@ -201,6 +201,12 @@ class TrainConfig:
     # stays 1 (compile time grows ~12x at unroll 4 and the win vanishes at
     # MXU-scale shapes); bench.py sets 4 at its fixed operating point.
     scan_unroll: int = 1
+    # Adam formulation: "adam" (optax) or "tf1-adam" — TF1's exact epsilon
+    # placement (eps OUTSIDE the v bias correction, tf.train.AdamOptimizer =
+    # the reference's optimizer.py:125).  The two differ measurably only
+    # where sqrt(v) ~ eps; the lockstep trajectory-parity harness
+    # (compat/lockstep.py) uses "tf1-adam" to pin the update math.
+    optimizer: str = "adam"
 
 
 @dataclass(frozen=True)
@@ -279,6 +285,18 @@ class Config:
     # those blocks raises the trainable N per chip.  Param paths are
     # unchanged, so checkpoints interoperate across the switch.
     remat: bool = False
+    # selective rematerialization policy (requires remat=True; None = plain
+    # full remat).  The hot ops tag every O(B·N²·h)+ intermediate with
+    # jax.ad_checkpoint.checkpoint_name (nn/ckpt.py BIG_NAMES); the policy
+    # picks what the backward tape keeps:
+    #   "recompute-big"  — save all small tensors, recompute only the tagged
+    #                      N² residuals (strictly less recompute than full
+    #                      remat at the same big-tensor savings);
+    #   "dots-no-batch"  — jax.checkpoint_policies.checkpoint_dots_with_no_
+    #                      batch_dims (save unbatched matmuls only);
+    #   "offload-big"    — offload the tagged residuals to host memory
+    #                      instead of recomputing.
+    remat_policy: Optional[str] = None
 
     @property
     def pallas_engaged(self) -> bool:
@@ -427,28 +445,45 @@ def preset(dataset: str, **overrides) -> Config:
 
 
 def apply_quality_overrides(cfg: Config) -> Config:
-    """The recommended quality operating point (BASELINE.md "quality sweep",
-    2026-08-17; ``snd-vae --quality``).
+    """The recommended *per-dataset* quality operating point
+    (``snd-vae --quality``; BASELINE.md "quality sweep" + the per-dataset
+    rows that followed it).
 
-    The 23-config sweep on synthetic2 (benchmarks/quality_sweep.py) found
-    beta=0.1 + weighted-BCE edge loss + the edge_from_coords distance channel
-    the best all-rounder: held-out edge AUC 0.53 -> 0.584, F1 0.117 -> 0.181
-    vs the reference hyperparameters, with all three generation MMDs also
-    better than beta=1 (degree 0.029 vs 0.039, clustering 0.071 vs 0.075,
-    edge-length 0.289 vs 0.701).  All three levers are corrected-mode
-    capabilities the reference computes-but-drops (pos_weight/norm,
-    main.py:246-247) or lacks (distance-aware edge head).
+    Each dataset gets its own best RECORDED configuration — the sweep showed
+    the synthetic2 recipe does not transfer wholesale (synthetic1's
+    ``--quality`` row carried the F1 gain but generated 3.6x too many edges
+    until beta was raised):
+
+      * synthetic2/synthetic3: beta=0.1 + weighted-BCE + edge_from_coords —
+        the 23-config sweep winner (held-out edge AUC 0.53 -> 0.584, F1
+        0.117 -> 0.181, all three generation MMDs better than beta=1).
+      * synthetic1: the same reconstruction knobs with **beta=3** — the
+        measured beta walk (1 -> 3 -> 10) fixes the generated-density
+        overshoot (0.378 -> 0.193 vs data 0.111) and improves every
+        structural MMD (degree 0.197 -> 0.079); beta=3 is the balanced
+        recommendation (BASELINE.md "synthetic1 beta sweep").
+      * protein/mnist: the synthetic2 knobs + ``normalize_coords`` — raw
+        coordinate scales (angstroms, the +10 mnist shift) make the sigmoid
+        head's targets unreachable, diverge bf16 KLs, and drown the efc
+        distance channel (mnist_norm_quality is the sweep's best held-out
+        reconstruction: AUC 0.905, F1 0.418).
+      * scene: UNCHANGED (bf16 only) — the reference recipe already scores
+        relation_acc 0.965 / adj_acc 0.9997; the wBCE/efc levers target
+        binary edge heads and were never swept against scene's 5-way
+        categorical relations.
+
+    All levers are corrected-mode capabilities the reference computes-but-
+    drops (pos_weight/norm, main.py:246-247) or lacks (distance-aware edge
+    head, coordinate normalization).
     """
+    if cfg.dataset == "scene":
+        return cfg.with_(compute_dtype="bfloat16")
+    beta = 3.0 if cfg.dataset == "synthetic1" else 0.1
     cfg = cfg.with_(
-        loss=replace(cfg.loss, beta=0.1, use_weighted_bce=True),
+        loss=replace(cfg.loss, beta=beta, use_weighted_bce=True),
         decoder=replace(cfg.decoder, edge_from_coords=True),
         compute_dtype="bfloat16",
     )
-    # Raw-coordinate-scale datasets (protein angstroms, mnist's +10 shift):
-    # without normalization the sigmoid coordinate head faces unreachable
-    # targets, bf16 KLs diverge, and the efc distance channel rides pure
-    # noise (every protein config scored held-out edge AUC ~0.50 before
-    # normalization — BASELINE.md "protein quality").
     if cfg.dataset in ("protein", "mnist"):
         cfg = cfg.with_(normalize_coords=True)
     return cfg

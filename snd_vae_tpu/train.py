@@ -46,10 +46,53 @@ class TrainState:
     key: jax.Array
 
 
+def tf1_adam(
+    learning_rate: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Adam in TF1's exact formulation (tf.train.AdamOptimizer, the
+    reference's optimizer at optimizer.py:125):
+
+        lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        w   -= lr_t * m_t / (sqrt(v_t) + eps)
+
+    optax.adam instead bias-corrects v BEFORE adding eps
+    (m_hat / (sqrt(v_hat) + eps)); the two differ by an effective
+    eps factor sqrt(1 - b2^t) — a real trajectory difference wherever
+    sqrt(v) ~ eps (tiny/zero-gradient parameters).  Used by the lockstep
+    trajectory-parity harness (compat/lockstep.py) and selectable via
+    ``TrainConfig.optimizer = "tf1-adam"``."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return (jnp.zeros((), jnp.int32), zeros, jax.tree.map(jnp.zeros_like, zeros))
+
+    def update(grads, state, params=None):
+        del params
+        t, m, v = state
+        t = t + 1
+        m = jax.tree.map(lambda mu, g: b1 * mu + (1 - b1) * g, m, grads)
+        v = jax.tree.map(lambda nu, g: b2 * nu + (1 - b2) * g * g, v, grads)
+        tf_ = t.astype(jnp.float32)
+        lr_t = learning_rate * jnp.sqrt(1 - b2 ** tf_) / (1 - b1 ** tf_)
+        updates = jax.tree.map(
+            lambda mu, nu: -lr_t * mu / (jnp.sqrt(nu) + eps), m, v
+        )
+        return updates, (t, m, v)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Adam with the reference's hyperparameters (optimizer.py:125: TF1
-    AdamOptimizer defaults beta1=0.9, beta2=0.999, eps=1e-8)."""
-    return optax.adam(cfg.train.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    AdamOptimizer defaults beta1=0.9, beta2=0.999, eps=1e-8).
+    ``cfg.train.optimizer`` picks the formulation: "adam" (optax default)
+    or "tf1-adam" (the reference's exact epsilon placement, see tf1_adam)."""
+    name = cfg.train.optimizer
+    if name == "tf1-adam":
+        return tf1_adam(cfg.train.learning_rate)
+    if name == "adam":
+        return optax.adam(cfg.train.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    raise ValueError(f"unknown TrainConfig.optimizer {name!r}")
 
 
 def init_state(cfg: Config, batch: GraphBatch, seed: Optional[int] = None) -> Tuple[Any, TrainState]:
@@ -440,6 +483,7 @@ class Trainer:
             np.asarray(self.eval_batch.features)[:n],
             np.asarray(self.eval_batch.coords)[:n],
             self.cfg.dataset, adj_scores=adj_scores,
+            node_categorical=outs[0].node_feat_prob is not None,
         )
 
     def _maybe_eval(self, epoch: int, verbose: bool) -> None:
