@@ -36,28 +36,28 @@ def main() -> None:
     # takes n/remat from argv — ``frontier_2048.py 1536 remat``.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
     remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
-    for n, reps in ((n, 2),):
-        cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
-            num_nodes=n, sampling_num=2, remat=remat,
-        )
-        cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
-        data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
-        batched = rebatch(data, 2)
-        model, state = init_state(cfg, data)
-        step = make_epoch_step(cfg, model, make_optimizer(cfg))
+    reps = 2
+    cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+        num_nodes=n, sampling_num=2, remat=remat,
+    )
+    cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+    data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+    batched = rebatch(data, 2)
+    model, state = init_state(cfg, data)
+    step = make_epoch_step(cfg, model, make_optimizer(cfg))
 
-        state, aux = step(state, batched)
-        jax.device_get(aux["loss"])          # compile + warm
-        t0 = time.perf_counter()
-        state, aux = step(state, batched)
-        jax.device_get(aux["loss"])
-        dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({
-            "bench": "frontier", "n": n, "batch_graphs": 2,
-            "adj_head_factored": "auto(on)", "remat": remat,
-            "ms_per_step": round(dt * 1e3, 2),
-            "graphs_per_sec": round(2.0 / dt, 2),
-        }), flush=True)
+    state, aux = step(state, batched)
+    jax.device_get(aux["loss"])          # compile + warm
+    t0 = time.perf_counter()
+    state, aux = step(state, batched)
+    jax.device_get(aux["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "bench": "frontier", "n": n, "batch_graphs": 2,
+        "adj_head_factored": "auto(on)", "remat": remat,
+        "ms_per_step": round(dt * 1e3, 2),
+        "graphs_per_sec": round(2.0 / dt, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -116,7 +116,11 @@ class FrozenBatchNorm(nn.Module):
         beta = self.param("beta", inits.zeros, (c,))
         if block is not None:
             lo, hi = block
-            assert hi - lo == x.shape[-1], (block, x.shape)
+            if hi - lo != x.shape[-1]:
+                raise ValueError(
+                    f"block {block} width {hi - lo} != input channels "
+                    f"{x.shape[-1]} (shape {x.shape})"
+                )
             gamma, beta = gamma[lo:hi], beta[lo:hi]
         scale = gamma * jax.lax.rsqrt(jnp.asarray(1.0 + self.epsilon, x.dtype))
         return x * scale + beta
@@ -146,7 +150,11 @@ class BatchStatNorm(nn.Module):
         beta = self.param("beta", inits.zeros, (c,))
         if block is not None:
             lo, hi = block
-            assert hi - lo == x.shape[-1], (block, x.shape)
+            if hi - lo != x.shape[-1]:
+                raise ValueError(
+                    f"block {block} width {hi - lo} != input channels "
+                    f"{x.shape[-1]} (shape {x.shape})"
+                )
             gamma, beta = gamma[lo:hi], beta[lo:hi]
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes, keepdims=True)

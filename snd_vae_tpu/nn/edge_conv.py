@@ -116,8 +116,13 @@ class E2E(nn.Module):
         *,
         factors: Optional[Tuple] = None,
     ) -> jnp.ndarray:
+        if x is None and factors is None:
+            raise ValueError("E2E needs a dense map x or factors=(P, Q, D)")
         if factors is not None:
-            assert x is None, "pass either a dense map or factors, not both"
+            if x is not None:
+                raise ValueError(
+                    "pass either a dense map or factors, not both"
+                )
             P, Q, D = factors
             c_in = P.shape[-1] + Q.shape[-1] + (
                 D.shape[-1] if D is not None else 0
@@ -147,10 +152,11 @@ class E2E(nn.Module):
             # budget above is width-based), so the lowering requires square
             # maps — true for every adjacency head; anything else must take
             # the conv path
-            assert x.shape[1] == x.shape[2], (
-                f"E2E matmul lowering requires square maps, got "
-                f"H={x.shape[1]} W={x.shape[2]}; pass use_matmul=False"
-            )
+            if x.shape[1] != x.shape[2]:
+                raise ValueError(
+                    f"E2E matmul lowering requires square maps, got "
+                    f"H={x.shape[1]} W={x.shape[2]}; pass use_matmul=False"
+                )
             acc = _acc_dtype(x.dtype)
             # node-sharding hint: row-block the [B,N,N,C] map on its first
             # node axis over the mesh's 'model' axis (identity without an
@@ -187,7 +193,11 @@ class E2E(nn.Module):
         its N³ conv.
         """
         W = P.shape[1]
-        assert Q.shape[1] == W, (P.shape, Q.shape)
+        if Q.shape[1] != W:
+            raise ValueError(
+                f"separable E2E factor node axes disagree: P {P.shape} "
+                f"vs Q {Q.shape}"
+            )
         k_h = self.k_h
         pl = (k_h - 1) // 2
         cP, cQ = P.shape[-1], Q.shape[-1]
