@@ -55,6 +55,7 @@ def reconstruct_evaluation(
     spatial_truth: np.ndarray,
     dataset: str = "",
     adj_scores: Optional[np.ndarray] = None,
+    node_categorical: Optional[bool] = None,
 ) -> Dict[str, float]:
     from sklearn.metrics import average_precision_score, roc_auc_score
 
@@ -80,7 +81,14 @@ def reconstruct_evaluation(
     out["edge_f1"] = 2 * p * r / max(p + r, 1e-12)
     gn = np.asarray(gen_nodes[:G])
     ft = np.asarray(feature_truth[:G])
-    if gn.size == ft.size:
+    # ``node_categorical`` declares the decode kind explicitly (callers with
+    # a DecodedGraph pass ``decoded.node_feat_prob is not None``); the shape
+    # heuristic remains only as a fallback for bare-array callers — a
+    # class-index decode whose class count coincides with the feature width
+    # would otherwise silently score as MSE
+    if node_categorical is None:
+        node_categorical = gn.size != ft.size
+    if not node_categorical:
         out["node_mse"] = float(np.mean((gn - ft.reshape(gn.shape)) ** 2))
     else:
         # categorical node decode (scene, model_joint.py:140-145): gen_nodes
