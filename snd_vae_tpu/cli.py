@@ -70,6 +70,8 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(use_pallas=True)
     if getattr(args, "remat", False):
         cfg = cfg.with_(remat=True)
+    if getattr(args, "remat_policy", None):
+        cfg = cfg.with_(remat=True, remat_policy=args.remat_policy)
     if getattr(args, "coord_activation", "auto") != "auto":
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
             **{**cfg.decoder.__dict__, "coord_activation": args.coord_activation}
@@ -197,6 +199,7 @@ def run_test_reconstruct(cfg: Config, workdir: str) -> Dict[str, float]:
         np.asarray(batch.features)[:n_eval],
         np.asarray(batch.coords)[:n_eval],
         cfg.dataset, adj_scores=adj_scores,
+        node_categorical=outs[0].node_feat_prob is not None,
     )
     if batch.factors is not None and zs:
         z_s, z_g, z_sg = (np.concatenate(zs), np.concatenate(zgs),
@@ -350,6 +353,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "adjacency head in backward (jax.checkpoint) — "
                         "trades ~one extra forward of those blocks for the "
                         "dominant activation HBM, raising trainable N")
+    p.add_argument("--remat-policy", default=None, dest="remat_policy",
+                   choices=["recompute-big", "dots-no-batch", "offload-big"],
+                   help="selective remat policy over the checkpoint_name-"
+                        "tagged N^2 intermediates (implies --remat; see "
+                        "Config.remat_policy)")
     p.add_argument("--resample-trees-every", type=int, default=0,
                    dest="resample_trees_every",
                    help="re-draw spanning-tree samples every k epochs "
