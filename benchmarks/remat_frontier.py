@@ -1,0 +1,79 @@
+"""Selective-remat shootout in the spill regime (VERDICT r2 items 2+4).
+
+Measures the full train step (bf16, B=2, S=2, separable E2E auto-on,
+device_get fences — the frontier_2048.py protocol) at N in the spill regime
+under each rematerialization mode, plus the fused Pallas motif kernel
+(``--pallas``) at the shapes it was built for:
+
+    python benchmarks/remat_frontier.py <n> <variant>
+    variant ∈ none | full | recompute-big | dots-no-batch | offload-big
+    append 'pallas' to engage fused_motif_combine (e.g. "full pallas")
+
+One variant per process so a RESOURCE_EXHAUSTED or worker crash doesn't take
+the matrix down; the persistent compile cache absorbs recompiles.
+Context (BASELINE.md "HBM frontier"): N=1024 no-remat = 334.6 ms/step;
+N=1536/2048 need remat and run 12.4/29.4 s/step — ~11x off the flop-scaled
+extrapolation; this probes whether keeping the small tensors
+(recompute-big) or policy variants close that gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from snd_vae_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from snd_vae_tpu.config import synthetic2_preset
+from snd_vae_tpu.data import loaders
+from snd_vae_tpu.train import init_state, make_epoch_step, make_optimizer, rebatch
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    variant = sys.argv[2] if len(sys.argv) > 2 else "none"
+    pallas = len(sys.argv) > 3 and sys.argv[3] == "pallas"
+    remat = variant != "none"
+    policy = None if variant in ("none", "full") else variant
+
+    print(json.dumps({"backend": jax.default_backend(), "n": n,
+                      "variant": variant, "pallas": pallas}), flush=True)
+    # single-step batches (2 graphs per epoch-step dispatch) keep every
+    # dispatch bounded; reps=2 except at shapes near the worker's ~60 s
+    # dispatch tolerance
+    reps = 1 if n >= 2048 else 2
+    cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+        num_nodes=n, sampling_num=2, remat=remat, remat_policy=policy,
+        use_pallas=pallas, pallas_min_nodes=256,
+    )
+    cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+    data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+    batched = rebatch(data, 2)
+    model, state = init_state(cfg, data)
+    step = make_epoch_step(cfg, model, make_optimizer(cfg))
+
+    state, aux = step(state, batched)
+    jax.device_get(aux["loss"])          # compile + warm
+    t0 = time.perf_counter()
+    state, aux = step(state, batched)
+    loss = float(jax.device_get(aux["loss"])[-1])
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "bench": "remat_frontier", "n": n, "variant": variant,
+        "pallas": pallas, "batch_graphs": 2,
+        "ms_per_step": round(dt * 1e3, 2),
+        "graphs_per_sec": round(2.0 / dt, 2),
+        "loss": round(loss, 5),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,9 +72,20 @@ class DisentangledSNDVAE(nn.Module):
 
         # --- encoder: joint branch ---------------------------------------
         # cfg.remat: recompute each motif conv's [B,N,N,h]-scale internals in
-        # backward; only the [B,N,h] layer boundaries are saved
-        sgc3 = nn.remat(ops.SpatialGraphConv3D) if cfg.remat else ops.SpatialGraphConv3D
-        sgc = nn.remat(ops.SpatialGraphConv) if cfg.remat else ops.SpatialGraphConv
+        # backward; only the [B,N,h] layer boundaries are saved.
+        # cfg.remat_policy refines that to a selective policy over the
+        # checkpoint_name-tagged N² intermediates (nn/ckpt.py) — e.g.
+        # "recompute-big" keeps every small tensor and recomputes only the
+        # tagged [B,N,N,h] residuals.
+        pol = ops.policy_from_config(cfg.remat, cfg.remat_policy)
+        sgc3 = (
+            nn.remat(ops.SpatialGraphConv3D, policy=pol)
+            if cfg.remat else ops.SpatialGraphConv3D
+        )
+        sgc = (
+            nn.remat(ops.SpatialGraphConv, policy=pol)
+            if cfg.remat else ops.SpatialGraphConv
+        )
         sg_convs = []
         for hidden in enc.sg_conv_hidden:
             if cfg.model_type == "geoGCN":
@@ -289,7 +300,11 @@ class DisentangledSNDVAE(nn.Module):
         # adjacency head (model.py:196-208); cfg.remat recomputes the whole
         # [B,N,N,*] head from the small (z_sg_g, coords) inputs in backward
         head = (
-            nn.remat(type(self)._adj_head) if cfg.remat else type(self)._adj_head
+            nn.remat(
+                type(self)._adj_head,
+                policy=ops.policy_from_config(cfg.remat, cfg.remat_policy),
+            )
+            if cfg.remat else type(self)._adj_head
         )
         adj_prob = head(self, z_sg_g, coords)
         adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
@@ -328,11 +343,14 @@ class DisentangledSNDVAE(nn.Module):
                 # extra edge channel (spatial-network edges are distance-
                 # dependent; the reference's head is latent-only)
                 parts.append(edge_distance_channel(cfg, coords, t1.dtype))
-            t = ops.shard_nodes(jnp.concatenate(parts, axis=-1), tag="dec.pair")
+            t = ops.tag(
+                ops.shard_nodes(jnp.concatenate(parts, axis=-1), tag="dec.pair"),
+                "dec.pair",
+            )
             layers = zip(self.e_deconvs, self.d_bn_e)
         for e2e, bn in layers:
             t = bn(t)
-            t = e2e(jax.nn.relu(t))
+            t = ops.tag(e2e(jax.nn.relu(t)), "dec.e2e")
         t = self.decoder_adj_bn(t)
         logits = self.d_e_lin2(jax.nn.relu(t).reshape(B * N * N, -1)).reshape(
             B, N, N, 2

@@ -43,8 +43,17 @@ class JointSNDVAE(nn.Module):
 
         # cfg.remat: recompute each motif conv's [B,N,N,h]-scale internals in
         # backward; only the [B,N,h] layer boundaries are saved
-        sgc3 = nn.remat(ops.SpatialGraphConv3D) if cfg.remat else ops.SpatialGraphConv3D
-        sgc = nn.remat(ops.SpatialGraphConv) if cfg.remat else ops.SpatialGraphConv
+        # cfg.remat_policy refines full remat to a selective policy over the
+        # tagged N² intermediates (nn/ckpt.py)
+        pol = ops.policy_from_config(cfg.remat, cfg.remat_policy)
+        sgc3 = (
+            nn.remat(ops.SpatialGraphConv3D, policy=pol)
+            if cfg.remat else ops.SpatialGraphConv3D
+        )
+        sgc = (
+            nn.remat(ops.SpatialGraphConv, policy=pol)
+            if cfg.remat else ops.SpatialGraphConv
+        )
         if cfg.uses_3d_conv:
             self.sg_convs = [sgc3(tuple(h)) for h in enc.sg_conv_hidden]
         else:
@@ -179,7 +188,11 @@ class JointSNDVAE(nn.Module):
         # adjacency head (model_joint.py:164-179); cfg.remat recomputes the
         # whole [B,N,N,*] head from the small (joint_h, coords) in backward
         head = (
-            nn.remat(type(self)._adj_head) if cfg.remat else type(self)._adj_head
+            nn.remat(
+                type(self)._adj_head,
+                policy=ops.policy_from_config(cfg.remat, cfg.remat_policy),
+            )
+            if cfg.remat else type(self)._adj_head
         )
         adj_prob = head(self, joint_h, coords)
         adj = jnp.argmax(jax.nn.softmax(adj_prob, axis=-1), axis=-1)
@@ -218,11 +231,11 @@ class JointSNDVAE(nn.Module):
                 # corrected mode: decoded-coordinate distances as an edge
                 # channel (see DecoderConfig.edge_from_coords)
                 parts.append(edge_distance_channel(cfg, coords, t1.dtype))
-            t = jnp.concatenate(parts, axis=-1)
+            t = ops.tag(jnp.concatenate(parts, axis=-1), "dec.pair")
             layers = zip(self.e_deconvs, self.d_bn_e)
         for e2e, bn in layers:
             t = bn(t)
-            t = e2e(jax.nn.relu(t))
+            t = ops.tag(e2e(jax.nn.relu(t)), "dec.e2e")
         logits = self.d_e_lin2(jax.nn.relu(t).reshape(B * N * N, -1)).reshape(
             B, N, N, -1
         )

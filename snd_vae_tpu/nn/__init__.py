@@ -39,6 +39,7 @@ from .spatial_conv import (
     spatial_graph_conv_3d_dense_oracle,
     spatial_graph_conv_dense_oracle,
 )
+from .ckpt import BIG_NAMES, policy_from_config, tag
 from ..parallel.hints import constrain, shard_nodes
 
 __all__ = [
@@ -51,4 +52,5 @@ __all__ = [
     "inner_product_decoder", "Graphite", "GeoGraphConv", "StructGraphConv",
     "knn_dist", "rbf_expand", "positional_embedding", "gather_nodes",
     "orientations", "quaternions", "constrain", "shard_nodes",
+    "BIG_NAMES", "policy_from_config", "tag",
 ]

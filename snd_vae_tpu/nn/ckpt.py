@@ -1,0 +1,73 @@
+"""Selective rematerialization: named checkpoint tags + policies.
+
+``Config.remat`` wraps the motif convs and the adjacency head in
+``nn.remat`` (save only module boundaries, recompute ALL internals — the
+all-or-nothing mode).  The HBM ceiling at large N, though, is specifically
+the O(B·N²·h) intermediates inside those modules (BASELINE.md "Frontier
+probe": the backward tape's [B·S,N,N,h] residuals), while their O(B·N·h)
+internals are cheap to keep.  Tagging every N²-scale intermediate with
+``jax.ad_checkpoint.checkpoint_name`` lets ``Config.remat_policy`` pick a
+point between the extremes:
+
+  * ``recompute-big`` — save everything EXCEPT the named N² tensors
+    (jax.checkpoint_policies.save_anything_except_these_names): the big
+    residuals are dropped exactly as in full remat, but the backward pass
+    recomputes only their producers instead of the whole module.
+  * ``dots-no-batch`` — jax.checkpoint_policies.checkpoint_dots_with_no_
+    batch_dims_saveable: the classic save-small-matmuls policy.
+  * ``offload-big`` — save the named N² tensors to HOST memory instead of
+    recomputing (jax.checkpoint_policies.save_and_offload_only_these_names);
+    trades recompute FLOPs for PCIe/DMA traffic.
+
+Tags are identity outside a ``jax.checkpoint`` region, so the hot ops carry
+them unconditionally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.ad_checkpoint
+
+# Every N²-scale (or larger) intermediate in the hot path carries one of
+# these names.  Keep in sync with the tag() call sites:
+#   spatial_conv.spatial_graph_conv      — d_ij/e_jk/f_ik/wf/m3_sum/s_ij/t_ij
+#   spatial_conv.spatial_graph_conv_3d   — the third/fourth-order analogs
+#   models *._adj_head / edge_conv.E2E   — the pairwise maps + E2E layer outs
+BIG_NAMES = (
+    "sgc.d_ij", "sgc.e_jk", "sgc.f_ik", "sgc.wf", "sgc.m3_sum",
+    "sgc.s_ij", "sgc.t_ij",
+    "sgc3.m4_sum", "sgc3.t_ijk", "sgc3.t_sum", "sgc3.wg", "sgc3.m3_sum",
+    "sgc3.s_ij", "sgc3.t_ij",
+    "dec.pair", "dec.e2e",
+)
+
+
+def tag(x, name: str):
+    """Mark ``x`` as a named rematerialization candidate (identity outside a
+    checkpoint region).  ``name`` must be in BIG_NAMES so the policies below
+    see every site."""
+    return jax.ad_checkpoint.checkpoint_name(x, name)
+
+
+def policy_from_config(remat: bool, remat_policy: Optional[str]):
+    """Resolve (Config.remat, Config.remat_policy) to a jax.checkpoint
+    policy, or None for the save-nothing default of plain remat."""
+    if not remat or remat_policy is None:
+        return None
+    cp = jax.checkpoint_policies
+    if remat_policy == "recompute-big":
+        return cp.save_anything_except_these_names(*BIG_NAMES)
+    if remat_policy == "dots-no-batch":
+        return cp.checkpoint_dots_with_no_batch_dims
+    if remat_policy == "offload-big":
+        return cp.save_and_offload_only_these_names(
+            names_which_can_be_saved=(),
+            names_which_can_be_offloaded=list(BIG_NAMES),
+            offload_src="device", offload_dst="pinned_host",
+        )
+    raise ValueError(
+        f"unknown remat_policy {remat_policy!r}; "
+        "expected recompute-big | dots-no-batch | offload-big"
+    )

@@ -43,6 +43,7 @@ from flax import linen as nn
 
 from . import init as inits
 from .basic import lrelu
+from .ckpt import tag
 from ..parallel.hints import shard_nodes
 
 
@@ -116,9 +117,12 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
     # the [B,N,N,h] tensors carry node-sharding hints (first node axis over
     # the mesh's 'model' axis; identity without an ambient mesh) so the i-
     # row-blocked N³ contraction below stays partitioned under GSPMD
-    d_ij = shard_nodes(dot(phi_r, m1[3 * F : 3 * F + R]), tag="sgc.d_ij")
-    e_jk = shard_nodes(dot(phi_r, m1[3 * F + R : 3 * F + 2 * R]), tag="sgc.e_jk")
-    f_ik = shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik")
+    d_ij = tag(shard_nodes(dot(phi_r, m1[3 * F : 3 * F + R]), tag="sgc.d_ij"),
+               "sgc.d_ij")
+    e_jk = tag(shard_nodes(dot(phi_r, m1[3 * F + R : 3 * F + 2 * R]),
+                           tag="sgc.e_jk"), "sgc.e_jk")
+    f_ik = tag(shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik"),
+               "sgc.f_ik")
 
     deg = jnp.sum(adj, axis=-1)                          # [B,N]
     neigh_c = jnp.einsum("bjk,bkh->bjh", adj, c_k,
@@ -135,21 +139,22 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
     else:
         # the N³ term as a dense matmul: Σ_k A[j,k]·f[i,k] — comm-free under
         # node sharding (adj replicated, f_ik/output row-blocked on i)
-        wf = jnp.einsum("bjk,bikh->bijh", adj, f_ik,
-                        preferred_element_type=_acc_dtype(dt)).astype(dt)
+        wf = tag(jnp.einsum("bjk,bikh->bijh", adj, f_ik,
+                            preferred_element_type=_acc_dtype(dt)).astype(dt),
+                 "sgc.wf")
         m3_sum = (
             deg[:, None, :, None] * (a_i[:, :, None] + b_j[:, None, :] + d_ij + b1)
             + (neigh_c + ve)[:, None, :]
             + wf
         )
         m3_sum = adj[..., None] * m3_sum                 # A[i,j] mask  [B,N,N,h0]
-        m3_sum = shard_nodes(m3_sum, tag="sgc.m3_sum")
+        m3_sum = tag(shard_nodes(m3_sum, tag="sgc.m3_sum"), "sgc.m3_sum")
 
     # --- level 2: masked pair sum ---------------------------------------
     p_i = dot(phi_x, m2[0:F])                            # [B,N,h1]
     q_j = dot(phi_x, m2[F : 2 * F])                      # [B,N,h1]
-    s_ij = dot(phi_r, m2[2 * F : 2 * F + R])             # [B,N,N,h1]
-    t_ij = dot(lrelu(m3_sum), m2[2 * F + R :])           # [B,N,N,h1]
+    s_ij = tag(dot(phi_r, m2[2 * F : 2 * F + R]), "sgc.s_ij")  # [B,N,N,h1]
+    t_ij = tag(dot(lrelu(m3_sum), m2[2 * F + R :]), "sgc.t_ij")  # [B,N,N,h1]
 
     pair = q_j[:, None, :] + s_ij + t_ij + b2            # j-dependent part
     m2_sum = (
@@ -309,7 +314,7 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     m4_sum = m4_sum * mask3[..., None]
     # the O(N³·h) tensor dominates 3D-family memory; row-block it on i over
     # the mesh's 'model' axis (identity without an ambient mesh)
-    m4_sum = shard_nodes(m4_sum, tag="sgc3d.m4_sum")
+    m4_sum = tag(shard_nodes(m4_sum, tag="sgc3d.m4_sum"), "sgc3.m4_sum")
 
     # --- level 3: Σ_k mask3[i,j,k]·(φ(concat(x_i,x_j,x_k,r_ij,r_jk,d_ik,
     #              m4_sum))@M1 + b1).  φ(m4_sum) blocks factoring over k for
@@ -324,19 +329,22 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     g_ik = dot(phi_d, m1[o : o + Rd]); o += Rd
     w_m4 = m1[o:]                                                        # [h0,h1]
 
-    t_ijk = jnp.einsum("bijkh,hg->bijkg", lrelu(m4_sum), w_m4,
-                       preferred_element_type=_acc_dtype(dt)).astype(dt)
+    t_ijk = tag(jnp.einsum("bijkh,hg->bijkg", lrelu(m4_sum), w_m4,
+                           preferred_element_type=_acc_dtype(dt)).astype(dt),
+                "sgc3.t_ijk")
     # inner sum over k uses mask[j,k] only; the outer mask[i,j] is applied
     # once below (exact also for weighted adjacencies)
-    t_sum = jnp.einsum("bijkg,bjk->bijg", t_ijk, mask,
-                       preferred_element_type=_acc_dtype(dt)).astype(dt)
+    t_sum = tag(jnp.einsum("bijkg,bjk->bijg", t_ijk, mask,
+                           preferred_element_type=_acc_dtype(dt)).astype(dt),
+                "sgc3.t_sum")
 
     neigh_ck = jnp.einsum("bjk,bkh->bjh", mask, c_k2,
                           preferred_element_type=_acc_dtype(dt)).astype(dt)
     vg = jnp.einsum("bjk,bjkh->bjh", mask, g_jk,
                     preferred_element_type=_acc_dtype(dt)).astype(dt)
-    wg = jnp.einsum("bjk,bikh->bijh", mask, g_ik,
-                    preferred_element_type=_acc_dtype(dt)).astype(dt)
+    wg = tag(jnp.einsum("bjk,bikh->bijh", mask, g_ik,
+                        preferred_element_type=_acc_dtype(dt)).astype(dt),
+             "sgc3.wg")
 
     m3_sum = (
         deg[:, None, :, None] * (c_i[:, :, None] + c_j[:, None, :] + g_ij + b1)
@@ -345,14 +353,14 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
         + t_sum
     )
     m3_sum = mask[..., None] * m3_sum                                    # [B,N,N,h1]
-    m3_sum = shard_nodes(m3_sum, tag="sgc3d.m3_sum")
+    m3_sum = tag(shard_nodes(m3_sum, tag="sgc3d.m3_sum"), "sgc3.m3_sum")
 
     # --- level 2 ---------------------------------------------------------
     o = 0
     p_i = dot(phi_x, m2[o : o + F]); o += F
     q_j = dot(phi_x, m2[o : o + F]); o += F
-    s_ij = dot(phi_r, m2[o : o + R]); o += R
-    t_ij = dot(lrelu(m3_sum), m2[o:])
+    s_ij = tag(dot(phi_r, m2[o : o + R]), "sgc3.s_ij"); o += R
+    t_ij = tag(dot(lrelu(m3_sum), m2[o:]), "sgc3.t_ij")
 
     pair = q_j[:, None, :] + s_ij + t_ij + b2
     m2_sum = deg[..., None] * p_i + jnp.einsum(
