@@ -352,9 +352,11 @@ class DisentangledSNDVAE(nn.Module):
             t = bn(t)
             t = ops.tag(e2e(jax.nn.relu(t)), "dec.e2e")
         t = self.decoder_adj_bn(t)
-        logits = self.d_e_lin2(jax.nn.relu(t).reshape(B * N * N, -1)).reshape(
-            B, N, N, 2
-        )
+        # Dense contracts the last axis at any rank, so the reference's
+        # [B·N·N, C] flatten (model.py:203) is mathematically identity here —
+        # and skipping it keeps the node axis sharded under the mesh (a
+        # merge-reshape of a partitioned axis forces an all-gather)
+        logits = ops.shard_nodes(self.d_e_lin2(jax.nn.relu(t)), tag="dec.logits")
         off_diag = 1.0 - jnp.eye(N, dtype=logits.dtype)
         prob1 = off_diag * logits[..., 1]
         prob0 = off_diag * logits[..., 0] + (1.0 - off_diag)

@@ -236,9 +236,10 @@ class JointSNDVAE(nn.Module):
         for e2e, bn in layers:
             t = bn(t)
             t = ops.tag(e2e(jax.nn.relu(t)), "dec.e2e")
-        logits = self.d_e_lin2(jax.nn.relu(t).reshape(B * N * N, -1)).reshape(
-            B, N, N, -1
-        )
+        # Dense contracts the last axis at any rank — the reference's
+        # [B·N·N, C] flatten (model_joint.py:171-177) is identity here, and
+        # skipping it keeps the node axis sharded under the mesh
+        logits = ops.shard_nodes(self.d_e_lin2(jax.nn.relu(t)), tag="dec.logits")
         if cfg.dataset == "scene":
             return logits
         off_diag = 1.0 - jnp.eye(N, dtype=logits.dtype)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import init as inits
-from ..parallel.hints import shard_nodes
+from ..parallel.hints import MODEL_AXIS, _ambient_axes, shard_nodes
 
 
 def _conv2d(x, w, padding):
@@ -146,6 +146,14 @@ class E2E(nn.Module):
                 x.shape[2] >= self.matmul_threshold
                 and mt_bytes <= self.matmul_max_bytes
             )
+            # under a node-sharding mesh the Toeplitz expansion defeats the
+            # point: mt is O(N²·C·O) and weight-derived, so every device
+            # holds a full replica (measured: the dominant per-device temp
+            # at N=512 on the 1x8 mesh).  The conv lowering computes the
+            # same values with no N² weight tensor; auto mode prefers it
+            # whenever a 'model' mesh axis is ambient.
+            if matmul and MODEL_AXIS in _ambient_axes():
+                matmul = False
         if matmul:
             # the Toeplitz expansion is built from the width and reused to
             # contract the height axis for the column conv (and the byte
@@ -216,6 +224,12 @@ class E2E(nn.Module):
         wP = w1[0, :, :cP].astype(dt)                       # [k_h, cP, O]
         wQ = w1[0, :, cP:cP + cQ].astype(dt)
 
+        # node-sharding: constrain the FACTORS, not just the result — GSPMD
+        # propagates shardings forward from producers, so an output-only
+        # constraint leaves the f32 accumulation chain below replicated
+        # (measured: the dominant per-device temp on the 1x8 mesh; hinting P
+        # pins every bijo-shaped add to the i-row-blocked layout)
+        P = shard_nodes(P, tag="e2e.sepP")
         # row conv  = P[b,i]·SP[j] + conv1d(Q)[b,j]
         # col conv  = conv1d(P)[b,i] + Q[b,j]·SQ[i]
         y = jnp.einsum("bic,jco->bijo", P, SP, preferred_element_type=acc)

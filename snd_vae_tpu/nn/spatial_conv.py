@@ -153,8 +153,10 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
     # --- level 2: masked pair sum ---------------------------------------
     p_i = dot(phi_x, m2[0:F])                            # [B,N,h1]
     q_j = dot(phi_x, m2[F : 2 * F])                      # [B,N,h1]
-    s_ij = tag(dot(phi_r, m2[2 * F : 2 * F + R]), "sgc.s_ij")  # [B,N,N,h1]
-    t_ij = tag(dot(lrelu(m3_sum), m2[2 * F + R :]), "sgc.t_ij")  # [B,N,N,h1]
+    s_ij = tag(shard_nodes(dot(phi_r, m2[2 * F : 2 * F + R]), tag="sgc.s_ij"),
+               "sgc.s_ij")                               # [B,N,N,h1]
+    t_ij = tag(shard_nodes(dot(lrelu(m3_sum), m2[2 * F + R :]),
+                           tag="sgc.t_ij"), "sgc.t_ij")  # [B,N,N,h1]
 
     pair = q_j[:, None, :] + s_ij + t_ij + b2            # j-dependent part
     m2_sum = (
@@ -359,8 +361,10 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     o = 0
     p_i = dot(phi_x, m2[o : o + F]); o += F
     q_j = dot(phi_x, m2[o : o + F]); o += F
-    s_ij = tag(dot(phi_r, m2[o : o + R]), "sgc3.s_ij"); o += R
-    t_ij = tag(dot(lrelu(m3_sum), m2[o:]), "sgc3.t_ij")
+    s_ij = tag(shard_nodes(dot(phi_r, m2[o : o + R]), tag="sgc3d.s_ij"),
+               "sgc3.s_ij"); o += R
+    t_ij = tag(shard_nodes(dot(lrelu(m3_sum), m2[o:]), tag="sgc3d.t_ij"),
+               "sgc3.t_ij")
 
     pair = q_j[:, None, :] + s_ij + t_ij + b2
     m2_sum = deg[..., None] * p_i + jnp.einsum(
