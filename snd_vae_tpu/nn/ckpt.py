@@ -36,10 +36,8 @@ import jax.ad_checkpoint
 #   spatial_conv.spatial_graph_conv_3d   — the third/fourth-order analogs
 #   models *._adj_head / edge_conv.E2E   — the pairwise maps + E2E layer outs
 BIG_NAMES = (
-    "sgc.d_ij", "sgc.e_jk", "sgc.f_ik", "sgc.wf", "sgc.m3_sum",
-    "sgc.s_ij", "sgc.t_ij",
-    "sgc3.m4_sum", "sgc3.t_ijk", "sgc3.t_sum", "sgc3.wg", "sgc3.m3_sum",
-    "sgc3.s_ij", "sgc3.t_ij",
+    "sgc.d_ij", "sgc.rf", "sgc.wf", "sgc.m3_sum",
+    "sgc3.nd4", "sgc3.m4_sum", "sgc3.tm", "sgc3.m3_sum",
     "dec.pair", "dec.e2e",
 )
 

@@ -22,11 +22,25 @@ terms, and two chained masked matmuls:
 with a = φ(x)@M1[0:F], b = φ(x)@M1[F:2F], c = φ(x)@M1[2F:3F],
 d/e/f = φ(rel)@M1-slices, φ = lrelu.  This is numerically identical to the
 reference formula (block-matmul identity) but needs only O(B·N²·h) memory,
-and every contraction is a batched matmul the MXU executes directly.  The
-single O(B·N³·h) term (Σ_k A[j,k]·f[i,k]) is one dense [N·h, N] x [N, N]
-matmul per batch element.  The fourth-order variant factors the same way one
-level deeper, dropping memory from O(N⁴) to O(N³) (the φ(m4_sum) term is
-genuinely third-order because the nonlinearity blocks further factoring).
+and every contraction is a batched matmul the MXU executes directly.
+
+Rank-R reassociation (round 3).  Every masked node-sum over a term that is
+LINEAR in its R-channel input contracts against that input FIRST, with the
+R→h weight matmul applied to the contracted result:
+
+  Σ_k A[j,k]·(φ(rel)[i,k,:]@M1f) = (Σ_k A[j,k]·φ(rel)[i,k,:])@M1f
+
+so the single O(B·N³·h) term becomes an O(B·N³·R) contraction — for R=1 a
+pure batched [N,N]x[N,N] matmul with no narrow-h lane padding — plus an
+O(B·N²·R·h) projection, an h/R-fold FLOP cut on the dominant term.  The
+same identity (linearity in the WEIGHTS, so it also applies to the
+nonlinear φ(m3_sum) slice) collapses the entire level-2 pair sum to per-
+node contractions; the e/f/s/t pairwise tensors are never materialized.
+The fourth-order variant factors identically one level deeper — its
+O(B·N³·h0·h1) φ(m4_sum) projection reorders to an O(B·N³·h0) masked sum
+followed by an O(B·N²·h0·h1) matmul, and the [B,N,N,N,h1] t_ijk tensor
+(previously the 3D path's largest) disappears.  All reassociations are
+exact in exact arithmetic; the float64 oracle tests pin them at rtol 1e-9.
 
 Dense oracle implementations that replicate the reference's materialization
 literally are provided for testing (``*_dense_oracle``); the unit tests
@@ -96,52 +110,73 @@ class SpatialGraphConv(nn.Module):
 
 
 def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.ndarray:
-    """Functional factored third-order conv (see module docstring)."""
+    """Functional factored third-order conv (see module docstring).
+
+    Rank-R reassociation (round 3): every [B,N,N,h] tensor that is LINEAR in
+    φ(rel) — the e/f slices at level 3 and the s slice at level 2 — has its
+    masked node-sum contracted against the R-channel φ(rel) FIRST, with the
+    tiny R→h weight matmul applied to the contracted result:
+
+        Σ_k A[j,k]·(φ(rel)[i,k,:] @ M1f)  =  (Σ_k A[j,k]·φ(rel)[i,k,:]) @ M1f
+
+    Exact by linearity (float64-oracle-tested), and the dominant N³
+    contraction drops from O(B·N³·h) to O(B·N³·R) — for R=1 a pure batched
+    [N,N]x[N,N] matmul with no narrow-h lane padding — while the e_jk, f_ik,
+    s_ij, t_ij residuals are never materialized.  The same reassociation
+    collapses the level-2 sum: Σ_j A[i,j]·(φ(m3)[i,j,:] @ M2t) contracts the
+    masked j-sum over φ(m3_sum) before the h0→h1 matmul.  Only m3_sum and
+    d_ij remain at [B,N,N,·] (the lrelu between levels blocks factoring
+    through m3_sum; d_ij sits inside the mask additively)."""
     F, R = x.shape[-1], rel.shape[-1]
     m1, b1 = params["Matrix1"], params["bias1"]
     m2, b2 = params["Matrix2"], params["bias2"]
     m3, b3 = params["Matrix3"], params["bias3"]
-    h0 = m1.shape[1]
     dt = x.dtype
+    acc = _acc_dtype(dt)
 
     phi_x = lrelu(x)          # [B,N,F]
     phi_r = lrelu(rel)        # [B,N,N,R]
     dot = lambda t, w: jnp.einsum(
-        "...f,fo->...o", t, w, preferred_element_type=_acc_dtype(dt)
+        "...f,fo->...o", t, w, preferred_element_type=acc
     ).astype(dt)
 
     # --- level 3: masked motif sum --------------------------------------
     a_i = dot(phi_x, m1[0:F])               # φ(x_i)@M1a      [B,N,h0]
     b_j = dot(phi_x, m1[F : 2 * F])         # φ(x_j)@M1b      [B,N,h0]
-    c_k = dot(phi_x, m1[2 * F : 3 * F])     # φ(x_k)@M1c      [B,N,h0]
-    # the [B,N,N,h] tensors carry node-sharding hints (first node axis over
-    # the mesh's 'model' axis; identity without an ambient mesh) so the i-
-    # row-blocked N³ contraction below stays partitioned under GSPMD
+    # neighbour sums of the raw inputs, reused across levels
+    # (Σ_k A[j,k]·φ(x_k) and Σ_k A[j,k]·φ(rel)[j,k,:])
+    nx = jnp.einsum("bjk,bkf->bjf", adj, phi_x,
+                    preferred_element_type=acc).astype(dt)      # [B,N,F]
+    nr = jnp.einsum("bjk,bjkr->bjr", adj, phi_r,
+                    preferred_element_type=acc).astype(dt)      # [B,N,R]
+    # d_ij is additive inside the mask, so it stays pairwise ([B,N,N,h0],
+    # node-sharding hint: first node axis over the mesh's 'model' axis)
     d_ij = tag(shard_nodes(dot(phi_r, m1[3 * F : 3 * F + R]), tag="sgc.d_ij"),
                "sgc.d_ij")
-    e_jk = tag(shard_nodes(dot(phi_r, m1[3 * F + R : 3 * F + 2 * R]),
-                           tag="sgc.e_jk"), "sgc.e_jk")
-    f_ik = tag(shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik"),
-               "sgc.f_ik")
 
     deg = jnp.sum(adj, axis=-1)                          # [B,N]
-    neigh_c = jnp.einsum("bjk,bkh->bjh", adj, c_k,
-                         preferred_element_type=_acc_dtype(dt)).astype(dt)
-    ve = jnp.einsum("bjk,bjkh->bjh", adj, e_jk,
-                    preferred_element_type=_acc_dtype(dt)).astype(dt)
+    neigh_c = dot(nx, m1[2 * F : 3 * F])                 # Σ_k A[j,k]·c_k
+    ve = dot(nr, m1[3 * F + R : 3 * F + 2 * R])          # Σ_k A[j,k]·e_jk
     if use_pallas:
         # fused Pallas kernel: the N³ matmul + combine + mask in one VMEM
-        # pass (nn/pallas/blocked_spmm.py); j-only terms fold into v_j
+        # pass (nn/pallas/blocked_spmm.py); j-only terms fold into v_j.
+        # The kernel consumes the pre-projected f_ik (the pre-reassociation
+        # formulation — identical values)
         from .pallas import motif_combine
 
+        f_ik = shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik")
         v_combined = deg[..., None] * b_j + neigh_c + ve
         m3_sum = motif_combine(adj, a_i, d_ij, v_combined, f_ik, b1)
     else:
-        # the N³ term as a dense matmul: Σ_k A[j,k]·f[i,k] — comm-free under
-        # node sharding (adj replicated, f_ik/output row-blocked on i)
-        wf = tag(jnp.einsum("bjk,bikh->bijh", adj, f_ik,
-                            preferred_element_type=_acc_dtype(dt)).astype(dt),
-                 "sgc.wf")
+        # the N³ term: Σ_k A[j,k]·f[i,k] with f = φ(rel)@M1f, reassociated —
+        # contract the mask against the R-channel φ(rel) (a square batched
+        # matmul for R=1), then project R→h0.  Comm-free under node sharding
+        # (adj replicated, rf/output row-blocked on i).
+        rf = tag(shard_nodes(
+            jnp.einsum("bjk,bikr->bijr", adj, phi_r,
+                       preferred_element_type=acc).astype(dt),
+            tag="sgc.rf"), "sgc.rf")                     # [B,N,N,R]
+        wf = tag(dot(rf, m1[3 * F + 2 * R :]), "sgc.wf")  # [B,N,N,h0]
         m3_sum = (
             deg[:, None, :, None] * (a_i[:, :, None] + b_j[:, None, :] + d_ij + b1)
             + (neigh_c + ve)[:, None, :]
@@ -150,19 +185,19 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
         m3_sum = adj[..., None] * m3_sum                 # A[i,j] mask  [B,N,N,h0]
         m3_sum = tag(shard_nodes(m3_sum, tag="sgc.m3_sum"), "sgc.m3_sum")
 
-    # --- level 2: masked pair sum ---------------------------------------
+    # --- level 2: masked pair sum, fully reassociated --------------------
+    #   m2_sum[i] = Σ_j A[i,j]·(p_i + q_j + s_ij + t_ij + b2)
+    # with s = φ(rel)@M2s and t = φ(m3_sum)@M2t: contract the masked j-sum
+    # against φ(rel) (= nr, reused) and φ(m3_sum) first, then project.
     p_i = dot(phi_x, m2[0:F])                            # [B,N,h1]
-    q_j = dot(phi_x, m2[F : 2 * F])                      # [B,N,h1]
-    s_ij = tag(shard_nodes(dot(phi_r, m2[2 * F : 2 * F + R]), tag="sgc.s_ij"),
-               "sgc.s_ij")                               # [B,N,N,h1]
-    t_ij = tag(shard_nodes(dot(lrelu(m3_sum), m2[2 * F + R :]),
-                           tag="sgc.t_ij"), "sgc.t_ij")  # [B,N,N,h1]
-
-    pair = q_j[:, None, :] + s_ij + t_ij + b2            # j-dependent part
+    nq = dot(nx, m2[F : 2 * F])                          # Σ_j A[i,j]·q_j
+    nt = jnp.einsum("bij,bijh->bih", adj, lrelu(m3_sum),
+                    preferred_element_type=acc).astype(dt)      # [B,N,h0]
     m2_sum = (
-        deg[..., None] * (p_i)                           # Σ_j A[i,j]·p_i
-        + jnp.einsum("bij,bijh->bih", adj, pair,
-                     preferred_element_type=_acc_dtype(dt)).astype(dt)
+        deg[..., None] * (p_i + b2)
+        + nq
+        + dot(nr, m2[2 * F : 2 * F + R])
+        + dot(nt, m2[2 * F + R :])
     )
     m2_sum = shard_nodes(m2_sum, tag="sgc.m2_sum")
 
@@ -273,32 +308,47 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     else:
         mask = adj
     deg = jnp.sum(mask, axis=-1)  # [B,N]
+    acc = _acc_dtype(dt)
 
     phi_x = lrelu(x)
     phi_r = lrelu(rel)
     phi_d = lrelu(dis)
     dot = lambda t, w: jnp.einsum(
-        "...f,fo->...o", t, w, preferred_element_type=_acc_dtype(dt)
+        "...f,fo->...o", t, w, preferred_element_type=acc
     ).astype(dt)
+
+    # neighbour sums of the raw inputs, reused at every level (the rank-R
+    # reassociation — see spatial_graph_conv: masked node-sums contract
+    # against the R-channel inputs BEFORE the tiny R→h weight matmuls;
+    # exact by linearity, float64-oracle-tested):
+    #   mx[b,k,:]    = Σ_p mask[k,p]·φ(x_p)
+    #   nr4[b,k,:]   = Σ_p mask[k,p]·φ(rel)[k,p,:]
+    #   nd4[b,i,k,:] = Σ_p mask[k,p]·φ(dis)[i,p,:]   (the N³ contraction,
+    #                  O(B·N³·Rd) instead of O(B·N³·h))
+    mx = jnp.einsum("bkp,bpf->bkf", mask, phi_x,
+                    preferred_element_type=acc).astype(dt)      # [B,N,F]
+    nr4 = jnp.einsum("bkp,bkpr->bkr", mask, phi_r,
+                     preferred_element_type=acc).astype(dt)     # [B,N,R]
+    nd4 = tag(shard_nodes(
+        jnp.einsum("bkp,bipr->bikr", mask, phi_d,
+                   preferred_element_type=acc).astype(dt),
+        tag="sgc3d.nd4"), "sgc3.nd4")                           # [B,N,N,Rd]
 
     # --- level 4: Σ_p mask4[i,j,k,p]·(φ(concat)@M0 + b0), factored ------
     o = 0
     a_i = dot(phi_x, m0[o : o + F]); o += F          # x_i
     a_j = dot(phi_x, m0[o : o + F]); o += F          # x_j
     a_k = dot(phi_x, m0[o : o + F]); o += F          # x_k
-    a_p = dot(phi_x, m0[o : o + F]); o += F          # x_p
+    m0_p = m0[o : o + F]; o += F                     # x_p  (applied to mx)
     u_ij = dot(phi_r, m0[o : o + R]); o += R         # r_ij
     v_jk = dot(phi_r, m0[o : o + R]); o += R         # r_jk
-    w_kp = dot(phi_r, m0[o : o + R]); o += R         # r_kp
+    m0_w = m0[o : o + R]; o += R                     # r_kp (applied to nr4)
     y_ik = dot(phi_d, m0[o : o + Rd]); o += Rd       # d_ik
-    z_ip = dot(phi_d, m0[o : o + Rd]); o += Rd       # d_ip
+    m0_z = m0[o : o + Rd]; o += Rd                   # d_ip (applied to nd4)
 
-    P = jnp.einsum("bkp,bph->bkh", mask, a_p,
-                   preferred_element_type=_acc_dtype(dt)).astype(dt)      # Σ_p M[k,p]·a_p
-    Vw = jnp.einsum("bkp,bkph->bkh", mask, w_kp,
-                    preferred_element_type=_acc_dtype(dt)).astype(dt)     # Σ_p M[k,p]·w_kp
-    Wz = jnp.einsum("bkp,biph->bikh", mask, z_ip,
-                    preferred_element_type=_acc_dtype(dt)).astype(dt)     # Σ_p M[k,p]·z_ip
+    P = dot(mx, m0_p)                                # Σ_p M[k,p]·a_p   [B,N,h0]
+    Vw = dot(nr4, m0_w)                              # Σ_p M[k,p]·w_kp  [B,N,h0]
+    Wz = dot(nd4, m0_z)                              # Σ_p M[k,p]·z_ip  [B,N,N,h0]
 
     # m4_sum[i,j,k] = mask[i,j]·mask[j,k]·(deg[k]·(aᵢ+aⱼ+u_ij+a_k+v_jk+y_ik+b0)
     #                                       + P[k] + Vw[k] + Wz[i,k])
@@ -319,34 +369,29 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     m4_sum = tag(shard_nodes(m4_sum, tag="sgc3d.m4_sum"), "sgc3.m4_sum")
 
     # --- level 3: Σ_k mask3[i,j,k]·(φ(concat(x_i,x_j,x_k,r_ij,r_jk,d_ik,
-    #              m4_sum))@M1 + b1).  φ(m4_sum) blocks factoring over k for
-    #              its own slice, so that term is a genuine masked [N³] sum;
-    #              everything else factors as in the third-order op.
+    #              m4_sum))@M1 + b1).  The φ(m4_sum) slice is nonlinear in
+    #              m4_sum, but its masked k-sum still contracts BEFORE the
+    #              h0→h1 weight matmul (linearity in the weights):
+    #              Σ_k M[j,k]·(φ(m4)[i,j,k,:]@W) = (Σ_k M[j,k]·φ(m4)[i,j,k,:])@W
+    #              — the [B,N,N,N,h1] t_ijk tensor (the 3D path's largest)
+    #              is never materialized.
     o = 0
     c_i = dot(phi_x, m1[o : o + F]); o += F
     c_j = dot(phi_x, m1[o : o + F]); o += F
-    c_k2 = dot(phi_x, m1[o : o + F]); o += F
+    m1_ck = m1[o : o + F]; o += F                    # x_k  (applied to mx)
     g_ij = dot(phi_r, m1[o : o + R]); o += R
-    g_jk = dot(phi_r, m1[o : o + R]); o += R
-    g_ik = dot(phi_d, m1[o : o + Rd]); o += Rd
+    m1_gjk = m1[o : o + R]; o += R                   # r_jk (applied to nr4)
+    m1_gik = m1[o : o + Rd]; o += Rd                 # d_ik (applied to nd4)
     w_m4 = m1[o:]                                                        # [h0,h1]
 
-    t_ijk = tag(jnp.einsum("bijkh,hg->bijkg", lrelu(m4_sum), w_m4,
-                           preferred_element_type=_acc_dtype(dt)).astype(dt),
-                "sgc3.t_ijk")
-    # inner sum over k uses mask[j,k] only; the outer mask[i,j] is applied
-    # once below (exact also for weighted adjacencies)
-    t_sum = tag(jnp.einsum("bijkg,bjk->bijg", t_ijk, mask,
-                           preferred_element_type=_acc_dtype(dt)).astype(dt),
-                "sgc3.t_sum")
+    tm = tag(jnp.einsum("bijkh,bjk->bijh", lrelu(m4_sum), mask,
+                        preferred_element_type=acc).astype(dt),
+             "sgc3.tm")                              # Σ_k M[j,k]·φ(m4)  [B,N,N,h0]
+    t_sum = dot(tm, w_m4)                                                # [B,N,N,h1]
 
-    neigh_ck = jnp.einsum("bjk,bkh->bjh", mask, c_k2,
-                          preferred_element_type=_acc_dtype(dt)).astype(dt)
-    vg = jnp.einsum("bjk,bjkh->bjh", mask, g_jk,
-                    preferred_element_type=_acc_dtype(dt)).astype(dt)
-    wg = tag(jnp.einsum("bjk,bikh->bijh", mask, g_ik,
-                        preferred_element_type=_acc_dtype(dt)).astype(dt),
-             "sgc3.wg")
+    neigh_ck = dot(mx, m1_ck)                        # Σ_k M[j,k]·c_k
+    vg = dot(nr4, m1_gjk)                            # Σ_k M[j,k]·g_jk
+    wg = dot(nd4, m1_gik)                            # Σ_k M[j,k]·g_ik   [B,N,N,h1]
 
     m3_sum = (
         deg[:, None, :, None] * (c_i[:, :, None] + c_j[:, None, :] + g_ij + b1)
@@ -357,19 +402,20 @@ def spatial_graph_conv_3d(adj, x, rel, dis, params, fully_connected=False) -> jn
     m3_sum = mask[..., None] * m3_sum                                    # [B,N,N,h1]
     m3_sum = tag(shard_nodes(m3_sum, tag="sgc3d.m3_sum"), "sgc3.m3_sum")
 
-    # --- level 2 ---------------------------------------------------------
+    # --- level 2: fully reassociated as in the third-order op ------------
     o = 0
     p_i = dot(phi_x, m2[o : o + F]); o += F
-    q_j = dot(phi_x, m2[o : o + F]); o += F
-    s_ij = tag(shard_nodes(dot(phi_r, m2[o : o + R]), tag="sgc3d.s_ij"),
-               "sgc3.s_ij"); o += R
-    t_ij = tag(shard_nodes(dot(lrelu(m3_sum), m2[o:]), tag="sgc3d.t_ij"),
-               "sgc3.t_ij")
-
-    pair = q_j[:, None, :] + s_ij + t_ij + b2
-    m2_sum = deg[..., None] * p_i + jnp.einsum(
-        "bij,bijh->bih", mask, pair, preferred_element_type=_acc_dtype(dt)
-    ).astype(dt)
+    m2_q = m2[o : o + F]; o += F                     # x_j  (applied to mx)
+    m2_s = m2[o : o + R]; o += R                     # r_ij (applied to nr4)
+    m2_t = m2[o:]                                    # φ(m3_sum) slice
+    nt = jnp.einsum("bij,bijh->bih", mask, lrelu(m3_sum),
+                    preferred_element_type=acc).astype(dt)      # [B,N,h1]
+    m2_sum = (
+        deg[..., None] * (p_i + b2)
+        + dot(mx, m2_q)
+        + dot(nr4, m2_s)
+        + dot(nt, m2_t)
+    )
 
     # --- level 1 ---------------------------------------------------------
     return dot(phi_x, m3[0:F]) + dot(lrelu(m2_sum), m3[F:]) + b3

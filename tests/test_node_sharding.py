@@ -113,7 +113,10 @@ def test_motif_conv_activations_partitioned(inspect_hints):
 
     sharded = _sharded_specs(inspect_hints)
     # every motif-conv hint site reports a 'model'-partitioned spec
-    for tag in ("sgc.d_ij", "sgc.e_jk", "sgc.f_ik", "sgc.m3_sum", "sgc.m2_sum"):
+    # the rank-R reassociation (nn/spatial_conv.py) removed the e/f/s/t
+    # pairwise tensors; the surviving [B,N,N,·] sites are d_ij, the masked
+    # R-channel contraction rf, and the level sums
+    for tag in ("sgc.d_ij", "sgc.rf", "sgc.m3_sum", "sgc.m2_sum"):
         assert sharded.get(tag), f"{tag} not partitioned: {sharded}"
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
 
