@@ -1,4 +1,16 @@
-"""Pallas TPU kernels for the graph aggregation hot path.
+"""Pallas TPU kernels for the graph aggregation hot path — EXPERIMENTAL.
+
+Status (measured, BASELINE.md "Pallas" / "Large-N scaling"): XLA's native
+lowerings win at every shape tried — plain ``A @ X`` is bandwidth-bound and
+XLA's dot matches the roofline at N=2048-8192; the fused motif kernel pads
+the models' narrow hidden widths (20-50) to the 128-lane tile and loses
+~7% end-to-end at N=256/512.  The round-3 rank-R reassociation
+(nn/spatial_conv.py) additionally removed the f_ik tensor the motif kernel
+consumes from the main path, so engaging it now costs an extra O(B·N²·h)
+materialization.  The kernels stay as an experimentation surface behind
+``Config.use_pallas`` (default off) with their oracles and hardware tests;
+they are NOT part of the recommended large-graph design
+(parallel/large_graph.py).
 
 Two kernels:
 

@@ -11,11 +11,21 @@ across the mesh's ``model`` dimension:
 One GCN layer ``lrelu(A @ (X W))`` then needs each device to see all
 projected features: project locally ([N/d, F] @ [F, H] — no comms), tiled
 ``all_gather`` of the [N/d, H] projections over ICI, then the local row-block
-contraction ([N/d, N] @ [N, H]) on the MXU — optionally through the blocked
-Pallas kernel (nn/pallas) when the local block exceeds one VMEM residency.
+contraction ([N/d, N] @ [N, H]) on the MXU.
 
 Everything is expressed with ``jax.shard_map`` so XLA chooses ring
 collectives over ICI; the same code runs on the CPU test mesh.
+
+The blocked Pallas kernel (nn/pallas) remains available behind
+``use_pallas`` as an EXPERIMENTAL alternative for the local contraction,
+but it is not part of the recommended design: XLA's native dot wins at
+every measured shape — N=2048/4096/8192 aggregation and every end-to-end
+crossover probe (BASELINE.md "Large-N scaling", "Pallas") — because the
+plain contraction is already bandwidth-bound and the fused motif kernel
+pads narrow hidden widths to the 128-lane tile.  The round-3 rank-R
+reassociation (nn/spatial_conv.py) further obsoleted the fused kernel's
+interface: the main path no longer materializes the f_ik tensor the kernel
+consumes.
 """
 
 from __future__ import annotations
