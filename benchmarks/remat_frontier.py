@@ -50,9 +50,18 @@ def main() -> None:
     # dispatch bounded; reps=2 except at shapes near the worker's ~60 s
     # dispatch tolerance
     reps = 1 if n >= 2048 else 2
+    # normalize_coords tames the coordinate terms, but the recorded loss at
+    # these shapes is NOT the signal: node features stay raw-scale (up to
+    # ~120), and with node-sums over N>=1536 nodes the untrained-init
+    # encoder statistics overflow float range, so the init loss reads
+    # inf/NaN (measured 2026-08-19: N=1536 loss NaN with normalize_coords
+    # on AND off; N=1024 a finite-but-huge 3.2e24).  ms_per_step is the
+    # metric; correctness at these shapes is pinned separately by the
+    # float64 oracles and the f32 parity path.  The transform is host-side
+    # — the compiled program and step time are unaffected either way.
     cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
         num_nodes=n, sampling_num=2, remat=remat, remat_policy=policy,
-        use_pallas=pallas, pallas_min_nodes=256,
+        use_pallas=pallas, pallas_min_nodes=256, normalize_coords=True,
     )
     cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
     data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
