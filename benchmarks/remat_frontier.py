@@ -11,10 +11,12 @@ under each rematerialization mode, plus the fused Pallas motif kernel
 
 One variant per process so a RESOURCE_EXHAUSTED or worker crash doesn't take
 the matrix down; the persistent compile cache absorbs recompiles.
-Context (BASELINE.md "HBM frontier"): N=1024 no-remat = 334.6 ms/step;
-N=1536/2048 need remat and run 12.4/29.4 s/step — ~11x off the flop-scaled
-extrapolation; this probes whether keeping the small tensors
-(recompute-big) or policy variants close that gap.
+Context at round 2 (BASELINE.md "HBM frontier"): N=1024 no-remat =
+334.6 ms/step; N=1536/2048 needed remat and ran 12.4/29.4 s/step.  Measured
+round 3 (BASELINE.md "Frontier, post-rank-R"): N=1024 none 318.1,
+recompute-big +2.2%; N=1536 fits WITHOUT remat at 7 998 ms and
+recompute-big moves it -0.5% — the residual gap is XLA's memory-pressure
+schedule serialization, not tape size.
 """
 
 from __future__ import annotations
