@@ -187,36 +187,39 @@ def _step_flops(cfg, model, state, batched) -> float:
 
 def bench_full_train_pallas():
     """Same full-train protocol with the fused Pallas motif kernel engaged
-    (use_pallas + pallas_min_nodes=0) — the honest crossover check for the
-    Config.pallas_min_nodes gate: the kernel pads N to the 128-lane tile, so
-    it can only pay at large N."""
+    via the bench-only nn.spatial_conv.force_pallas() override (the kernel is
+    retired from the model config — it lost at every measured shape, and the
+    rank-R main path no longer materializes the f_ik tensor it consumes).
+    Kept so the crossover experiment stays reproducible."""
     from snd_vae_tpu.config import synthetic2_preset
     from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.nn import spatial_conv
     from snd_vae_tpu.train import (
         init_state, make_epoch_step, make_optimizer, rebatch,
     )
 
-    for n, reps in ((256, 15), (512, 6)):
-        cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
-            num_nodes=n, sampling_num=2, use_pallas=True, pallas_min_nodes=0,
-        )
-        cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
-        data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
-        batched = rebatch(data, 2)
-        model, state = init_state(cfg, data)
-        step = make_epoch_step(cfg, model, make_optimizer(cfg))
+    with spatial_conv.force_pallas():
+        for n, reps in ((256, 15), (512, 6)):
+            cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+                num_nodes=n, sampling_num=2,
+            )
+            cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+            data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+            batched = rebatch(data, 2)
+            model, state = init_state(cfg, data)
+            step = make_epoch_step(cfg, model, make_optimizer(cfg))
 
-        state, aux = step(state, batched)
-        jax.device_get(aux["loss"])
-        t0 = time.perf_counter()
-        state, aux = step(state, batched)
-        jax.device_get(aux["loss"])
-        dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({
-            "bench": "full_train_step_pallas", "n": n, "batch_graphs": 2,
-            "ms_per_step": round(dt * 1e3, 2),
-            "graphs_per_sec": round(2.0 / dt, 1),
-        }), flush=True)
+            state, aux = step(state, batched)
+            jax.device_get(aux["loss"])
+            t0 = time.perf_counter()
+            state, aux = step(state, batched)
+            jax.device_get(aux["loss"])
+            dt = (time.perf_counter() - t0) / reps
+            print(json.dumps({
+                "bench": "full_train_step_pallas", "n": n, "batch_graphs": 2,
+                "ms_per_step": round(dt * 1e3, 2),
+                "graphs_per_sec": round(2.0 / dt, 1),
+            }), flush=True)
 
 
 def bench_full_train_factored():

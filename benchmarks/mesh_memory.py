@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None)
     args = ap.parse_args()
+    # mirror the CLI: a policy implies remat (policy_from_config returns None
+    # when remat=False, which would silently measure the no-remat program
+    # while the output JSON records the policy name)
+    if args.remat_policy is not None:
+        args.remat = True
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")

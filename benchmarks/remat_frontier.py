@@ -63,8 +63,14 @@ def main() -> None:
     # — the compiled program and step time are unaffected either way.
     cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
         num_nodes=n, sampling_num=2, remat=remat, remat_policy=policy,
-        use_pallas=pallas, pallas_min_nodes=256, normalize_coords=True,
+        normalize_coords=True,
     )
+    if pallas:
+        # the kernel is retired from the model config (VERDICT r3 item 8);
+        # the bench-only override keeps this variant reproducible
+        from snd_vae_tpu.nn import spatial_conv
+
+        spatial_conv._FORCE_PALLAS = True
     cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
     data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
     batched = rebatch(data, 2)

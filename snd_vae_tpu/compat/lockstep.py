@@ -96,7 +96,24 @@ def run_reference_trajectory(
     The session loop replicates main.py:301-353: contiguous batches of B
     graphs (B*S sample rows), dropout/global_iter feeds, cost fetched with
     the update op."""
-    from .ref_harness import load_reference, restore_tensorflow_module
+    from .ref_harness import restore_tensorflow_module
+
+    # load_reference patches the global TF module (TF1 shim); restore it even
+    # if the graph build or session loop raises, so a failure here cannot
+    # poison later tests in the same process.
+    try:
+        return _run_reference_trajectory_patched(flags, data, epochs, noise_stream)
+    finally:
+        restore_tensorflow_module()
+
+
+def _run_reference_trajectory_patched(
+    flags: Dict,
+    data: GraphBatch,
+    epochs: int,
+    noise_stream: List[Dict[str, np.ndarray]],
+) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    from .ref_harness import load_reference
 
     ref = load_reference(dict(flags))
     tf = ref.tf
@@ -191,7 +208,6 @@ def run_reference_trajectory(
                     _, cost = sess.run([opt.opt_op, opt.cost], feed)
                     costs[epoch, i] = cost
                     step += 1
-    restore_tensorflow_module()
     return tf_vars, costs
 
 

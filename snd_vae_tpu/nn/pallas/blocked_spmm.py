@@ -7,10 +7,11 @@ the models' narrow hidden widths (20-50) to the 128-lane tile and loses
 ~7% end-to-end at N=256/512.  The round-3 rank-R reassociation
 (nn/spatial_conv.py) additionally removed the f_ik tensor the motif kernel
 consumes from the main path, so engaging it now costs an extra O(B·N²·h)
-materialization.  The kernels stay as an experimentation surface behind
-``Config.use_pallas`` (default off) with their oracles and hardware tests;
-they are NOT part of the recommended large-graph design
-(parallel/large_graph.py).
+materialization.  The kernels stay as a bench/test-only experimentation
+surface (op-level ``use_pallas=`` args and the
+``nn.spatial_conv.force_pallas()`` override — there is no model config knob)
+with their oracles and hardware tests; they are NOT part of the recommended
+large-graph design (parallel/large_graph.py).
 
 Two kernels:
 

@@ -68,7 +68,7 @@ def _sharded_specs(seen):
     }
 
 
-def tiny_cfg(num_nodes=16, use_pallas=False, **kw) -> Config:
+def tiny_cfg(num_nodes=16, **kw) -> Config:
     base = dict(
         dataset="synthetic2",
         num_nodes=num_nodes,
@@ -85,7 +85,6 @@ def tiny_cfg(num_nodes=16, use_pallas=False, **kw) -> Config:
             n_d_strides=(1,), e_d_hidden=(8,),
         ),
         train=TrainConfig(batch_size=4, epochs=1),
-        use_pallas=use_pallas,
     )
     base.update(kw)
     return Config(**base)

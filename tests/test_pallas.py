@@ -99,14 +99,27 @@ def test_fused_motif_combine_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_config_gate():
-    """use_pallas is auto-gated by node count: XLA wins at the reference
-    operating point (BASELINE.md "Pallas"), so the kernel only engages at
-    num_nodes >= pallas_min_nodes; 0 forces it everywhere."""
-    from snd_vae_tpu.config import preset
+def test_force_pallas_override_scoped():
+    """The Pallas path is retired from the model config (it lost at every
+    measured shape); the bench-only force_pallas() override must engage it
+    only inside its context."""
+    from snd_vae_tpu.nn import spatial_conv
 
-    cfg = preset("synthetic2").with_(use_pallas=True)  # N=25
-    assert not cfg.pallas_engaged
-    assert cfg.with_(num_nodes=256).pallas_engaged
-    assert cfg.with_(pallas_min_nodes=0).pallas_engaged
-    assert not cfg.with_(use_pallas=False, num_nodes=512).pallas_engaged
+    assert not spatial_conv._FORCE_PALLAS
+    with spatial_conv.force_pallas():
+        assert spatial_conv._FORCE_PALLAS
+        with spatial_conv.force_pallas():
+            assert spatial_conv._FORCE_PALLAS
+        assert spatial_conv._FORCE_PALLAS  # nesting restores the outer state
+    assert not spatial_conv._FORCE_PALLAS
+
+
+def test_config_has_no_pallas_knob():
+    """VERDICT r3 item 8: the flagship model/config carries no Pallas knob."""
+    import dataclasses
+
+    from snd_vae_tpu.config import Config
+
+    names = {f.name for f in dataclasses.fields(Config)}
+    assert "use_pallas" not in names and "pallas_min_nodes" not in names
+    assert not hasattr(Config, "pallas_engaged")
