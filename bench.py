@@ -39,6 +39,8 @@ DEFAULT_BASELINE_GRAPHS_PER_SEC = float(
 )
 
 NUM_GRAPHS = 200      # dataset size -> 20 batches per epoch at B=10
+SAMPLE_BATCH = 100    # decode-from-prior batch for the "+ sample" metric
+SAMPLE_REPS = 200     # chained decodes per timed dispatch
 EPOCH_CHUNK = 250     # epochs per dispatch (amortizes the per-dispatch and
                       # per-fetch host round-trips to ~1% of chunk time)
 MEASURE_CHUNKS = 2    # 500 measured epochs total
@@ -120,6 +122,31 @@ def _run():
         "unit": "graphs/s",
         "vs_baseline": round(graphs_per_sec / DEFAULT_BASELINE_GRAPHS_PER_SEC, 2),
     }
+
+    # the north star's "+ sample" half: decode-from-prior throughput at the
+    # same operating point (reference test_generation, main.py:428-469).
+    # Chained inside one lax.scan program with a scalar reduction carried out
+    # (DCE-proof) and fetched once — the honest fence on this backend.
+    def _sample_many(params, key):
+        def body(c, k):
+            g = model.apply({"params": params}, k, SAMPLE_BATCH,
+                            method=type(model).generate)
+            s = (jnp.sum(g.adj_prob.astype(jnp.float32))
+                 + jnp.sum(g.coords.astype(jnp.float32)))
+            return c + s, None
+        tot, _ = jax.lax.scan(body, jnp.float32(0),
+                              jax.random.split(key, SAMPLE_REPS))
+        return tot
+
+    sample_fn = jax.jit(_sample_many)
+    k0 = jax.random.key(0)
+    jax.device_get(sample_fn(state.params, k0))  # compile + warm
+    t0 = time.perf_counter()
+    jax.device_get(sample_fn(state.params, jax.random.key(1)))
+    sample_dt = time.perf_counter() - t0
+    record["sample_graphs_per_sec"] = round(
+        SAMPLE_REPS * SAMPLE_BATCH / sample_dt, 2
+    )
     if step_flops > 0:
         total_flops = step_flops * MEASURE_CHUNKS * EPOCH_CHUNK * nb
         mfu = total_flops / dt / PEAK_FLOPS

@@ -66,12 +66,12 @@ def _build_cfg(args) -> Config:
         cfg = cfg.with_(loss=cfg.loss.__class__(**{**cfg.loss.__dict__, "beta": args.beta}))
     if getattr(args, "bf16", False):
         cfg = cfg.with_(compute_dtype="bfloat16")
-    if getattr(args, "use_pallas", False):
-        cfg = cfg.with_(use_pallas=True)
     if getattr(args, "remat", False):
         cfg = cfg.with_(remat=True)
     if getattr(args, "remat_policy", None):
         cfg = cfg.with_(remat=True, remat_policy=args.remat_policy)
+    if getattr(args, "motif_block_rows", None):
+        cfg = cfg.with_(motif_block_rows=args.motif_block_rows)
     if getattr(args, "coord_activation", "auto") != "auto":
         cfg = cfg.with_(decoder=cfg.decoder.__class__(
             **{**cfg.decoder.__dict__, "coord_activation": args.coord_activation}
@@ -346,13 +346,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "explicit flags like --beta still override")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 master params and ELBO)")
-    p.add_argument("--use-pallas", action="store_true", dest="use_pallas",
-                   help="fused Pallas motif kernel in the sg-branch")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the motif convs and the pairwise "
                         "adjacency head in backward (jax.checkpoint) — "
                         "trades ~one extra forward of those blocks for the "
                         "dominant activation HBM, raising trainable N")
+    p.add_argument("--motif-block-rows", type=int, default=None,
+                   dest="motif_block_rows",
+                   help="blocked streamed lowering of the third-order motif "
+                        "conv: stream the level-3 pairwise tensors one "
+                        "i-row block of this size at a time (must divide "
+                        "num_nodes; single-chip memory lever for N>=1536 — "
+                        "see Config.motif_block_rows)")
     p.add_argument("--remat-policy", default=None, dest="remat_policy",
                    choices=["recompute-big", "dots-no-batch", "offload-big"],
                    help="selective remat policy over the checkpoint_name-"

@@ -267,16 +267,13 @@ class Config:
     # metrics/artifacts are then in normalized units; use
     # ``data.loaders.train_coord_bounds(cfg)`` to denormalize.
     normalize_coords: bool = False
-    # allow the fused Pallas motif kernel (TPU only).  The kernel is only
-    # engaged at num_nodes >= pallas_min_nodes.  Measured end-to-end, XLA's
-    # fused einsum lowering wins at EVERY shape tried — N=25: 8525 vs 2005
-    # graphs/s; N=256/512 full train step: ~7% faster than the kernel
-    # (BASELINE.md "Pallas") — because the kernel pads the narrow hidden
-    # width to the 128-lane tile.  The flag is an experimentation surface
-    # (and the kernel the building block of the node-sharded path); the
-    # recommended setting is the default (off).
-    use_pallas: bool = False
-    pallas_min_nodes: int = 256
+    # (The fused Pallas motif kernel is no longer a model config knob: XLA's
+    # fused einsum lowering won at EVERY measured shape and, post rank-R, the
+    # kernel's pre-projected f_ik input adds an O(B·N²·h) materialization the
+    # main path no longer produces.  The kernels remain importable with their
+    # oracles and hardware tests — nn/pallas/, tests/test_pallas.py — and the
+    # full-model crossover experiment stays reproducible via the bench-only
+    # override nn.spatial_conv.force_pallas(); see BASELINE.md "Pallas".)
     # rematerialization (jax.checkpoint): recompute the motif-conv internals
     # and the whole pairwise adjacency head in backward instead of saving
     # their activations.  The saved residuals are the HBM ceiling at large N
@@ -297,10 +294,16 @@ class Config:
     #   "offload-big"    — offload the tagged residuals to host memory
     #                      instead of recomputing.
     remat_policy: Optional[str] = None
-
-    @property
-    def pallas_engaged(self) -> bool:
-        return self.use_pallas and self.num_nodes >= self.pallas_min_nodes
+    # blocked streamed lowering of the third-order motif conv: produce and
+    # consume the level-3 pairwise tensors (d_ij/rf/wf/m3_sum) one i-row
+    # block at a time under lax.scan with a checkpointed body, so the live
+    # set is a small multiple of one [B,S,block,N,h] slab by construction
+    # (nn/spatial_conv._blocked_nt).  The single-chip lever for N >= 1536,
+    # where the monolithic program's live set nears the 16 GB chip and XLA
+    # falls into a serialized schedule that remat policies cannot undo
+    # (BASELINE.md "Frontier, post-rank-R").  None = monolithic (fastest at
+    # every N <= 1024); a value must divide num_nodes.
+    motif_block_rows: Optional[int] = None
 
     @property
     def adj_factored_engaged(self) -> bool:

@@ -98,7 +98,7 @@ class DisentangledSNDVAE(nn.Module):
                 sg_convs.append(sgc3(tuple(hidden)))
             else:
                 sg_convs.append(
-                    sgc(tuple(hidden), use_pallas=cfg.pallas_engaged)
+                    sgc(tuple(hidden), block_rows=cfg.motif_block_rows)
                 )
         self.sg_convs = sg_convs
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]

@@ -58,7 +58,7 @@ class JointSNDVAE(nn.Module):
             self.sg_convs = [sgc3(tuple(h)) for h in enc.sg_conv_hidden]
         else:
             self.sg_convs = [
-                sgc(tuple(h), use_pallas=cfg.pallas_engaged)
+                sgc(tuple(h), block_rows=cfg.motif_block_rows)
                 for h in enc.sg_conv_hidden
             ]
         self.sg_bns = [norm() for _ in enc.sg_conv_hidden]

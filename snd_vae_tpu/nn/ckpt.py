@@ -31,10 +31,20 @@ import jax
 import jax.ad_checkpoint
 
 # Every N²-scale (or larger) intermediate in the hot path carries one of
-# these names.  Keep in sync with the tag() call sites:
-#   spatial_conv.spatial_graph_conv      — d_ij/e_jk/f_ik/wf/m3_sum/s_ij/t_ij
-#   spatial_conv.spatial_graph_conv_3d   — the third/fourth-order analogs
-#   models *._adj_head / edge_conv.E2E   — the pairwise maps + E2E layer outs
+# these names.  Keep in sync with the tag() call sites (guarded at runtime by
+# the assert in tag() and by tests/test_remat_policies.py's repo scan):
+#   spatial_conv.spatial_graph_conv      — d_ij / rf / wf / m3_sum (the
+#     post-rank-R residual set; the e/f/s/t pairwise tensors of the original
+#     factoring are no longer materialized)
+#   spatial_conv.spatial_graph_conv_3d   — nd4 / m4_sum / tm / m3_sum
+#   models *._adj_head / edge_conv.E2E   — the pairwise map + E2E layer outs
+# The bench-only Pallas branch's f_ik ([B,N,N,h]) is INTENTIONALLY untagged:
+# the fused kernel's custom VJP consumes it in backward, so a policy dropping
+# it would force a recompute the kernel cannot express; that branch is never
+# reachable from model config (nn/spatial_conv.force_pallas is bench-only).
+# Likewise the blocked streamed lowering (spatial_conv._blocked_nt) carries
+# no tags: its pairwise tensors live only inside a checkpointed scan body
+# that already drops and recomputes them per block.
 BIG_NAMES = (
     "sgc.d_ij", "sgc.rf", "sgc.wf", "sgc.m3_sum",
     "sgc3.nd4", "sgc3.m4_sum", "sgc3.tm", "sgc3.m3_sum",
@@ -45,7 +55,12 @@ BIG_NAMES = (
 def tag(x, name: str):
     """Mark ``x`` as a named rematerialization candidate (identity outside a
     checkpoint region).  ``name`` must be in BIG_NAMES so the policies below
-    see every site."""
+    see every site — enforced here (trace-time only, free at runtime) so a
+    dynamically-constructed call site cannot silently exempt a residual."""
+    assert name in BIG_NAMES, (
+        f"tag name {name!r} not registered in nn.ckpt.BIG_NAMES — the remat "
+        "policies would silently miss this residual"
+    )
     return jax.ad_checkpoint.checkpoint_name(x, name)
 
 

@@ -42,6 +42,16 @@ followed by an O(B·N²·h0·h1) matmul, and the [B,N,N,N,h1] t_ijk tensor
 (previously the 3D path's largest) disappears.  All reassociations are
 exact in exact arithmetic; the float64 oracle tests pin them at rtol 1e-9.
 
+Blocked streamed lowering (round 4).  At N>=1536 the monolithic program's
+live set nears the 16 GB chip and XLA adopts a serialized schedule that
+remat policies cannot undo (they change what is saved, not the op schedule
+— BASELINE.md "Frontier, post-rank-R").  ``block_rows`` streams the level-3
+pairwise tensors one i-row block at a time under a checkpointed ``lax.scan``
+(``_blocked_nt``), bounding the live set to a small multiple of one
+[B,block,N,h] slab by construction.  i-blocking does not reassociate any
+sum (the j/k reductions are row-local), so the result is float64-oracle
+equal to the dense reference formula.
+
 Dense oracle implementations that replicate the reference's materialization
 literally are provided for testing (``*_dense_oracle``); the unit tests
 assert exact agreement.
@@ -63,6 +73,30 @@ from ..parallel.hints import shard_nodes
 
 def _f32(x):
     return x.astype(jnp.float32)
+
+
+# Bench/test-only override: engage the retired fused Pallas motif kernel in a
+# FULL model without any model-config plumbing (the kernel lost at every
+# measured shape and post-rank-R would add an O(B·N²·h) f_ik materialization,
+# so the flagship carries no knob for it — VERDICT r3 item 8).  Used by
+# benchmarks/large_graph_bench.py::bench_full_train_pallas to keep the
+# crossover experiment reproducible.
+_FORCE_PALLAS = False
+
+
+class force_pallas:
+    """Context manager: route every spatial_graph_conv through the fused
+    Pallas kernel.  Experimentation surface only — never used by the models
+    or the CLI."""
+
+    def __enter__(self):
+        global _FORCE_PALLAS
+        self._prev = _FORCE_PALLAS
+        _FORCE_PALLAS = True
+
+    def __exit__(self, *exc):
+        global _FORCE_PALLAS
+        _FORCE_PALLAS = self._prev
 
 
 def _acc_dtype(dt):
@@ -91,6 +125,7 @@ class SpatialGraphConv(nn.Module):
     stddev: float = 0.02
     bias_start: float = 0.0
     use_pallas: bool = False
+    block_rows: Optional[int] = None
 
     @nn.compact
     def __call__(self, adj: jnp.ndarray, x: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
@@ -106,10 +141,12 @@ class SpatialGraphConv(nn.Module):
             adj, x, rel, dict(Matrix1=m1, bias1=b1, Matrix2=m2, bias2=b2,
                               Matrix3=m3, bias3=b3),
             use_pallas=self.use_pallas,
+            block_rows=self.block_rows,
         )
 
 
-def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.ndarray:
+def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False,
+                       block_rows: Optional[int] = None) -> jnp.ndarray:
     """Functional factored third-order conv (see module docstring).
 
     Rank-R reassociation (round 3): every [B,N,N,h] tensor that is LINEAR in
@@ -133,6 +170,7 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
     m3, b3 = params["Matrix3"], params["bias3"]
     dt = x.dtype
     acc = _acc_dtype(dt)
+    use_pallas = use_pallas or _FORCE_PALLAS
 
     phi_x = lrelu(x)          # [B,N,F]
     phi_r = lrelu(rel)        # [B,N,N,R]
@@ -149,41 +187,52 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
                     preferred_element_type=acc).astype(dt)      # [B,N,F]
     nr = jnp.einsum("bjk,bjkr->bjr", adj, phi_r,
                     preferred_element_type=acc).astype(dt)      # [B,N,R]
-    # d_ij is additive inside the mask, so it stays pairwise ([B,N,N,h0],
-    # node-sharding hint: first node axis over the mesh's 'model' axis)
-    d_ij = tag(shard_nodes(dot(phi_r, m1[3 * F : 3 * F + R]), tag="sgc.d_ij"),
-               "sgc.d_ij")
 
     deg = jnp.sum(adj, axis=-1)                          # [B,N]
     neigh_c = dot(nx, m1[2 * F : 3 * F])                 # Σ_k A[j,k]·c_k
     ve = dot(nr, m1[3 * F + R : 3 * F + 2 * R])          # Σ_k A[j,k]·e_jk
-    if use_pallas:
-        # fused Pallas kernel: the N³ matmul + combine + mask in one VMEM
-        # pass (nn/pallas/blocked_spmm.py); j-only terms fold into v_j.
-        # The kernel consumes the pre-projected f_ik (the pre-reassociation
-        # formulation — identical values)
-        from .pallas import motif_combine
-
-        f_ik = shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik")
-        v_combined = deg[..., None] * b_j + neigh_c + ve
-        m3_sum = motif_combine(adj, a_i, d_ij, v_combined, f_ik, b1)
+    if block_rows is not None and not use_pallas:
+        # blocked streamed lowering (see _blocked_nt): produce and consume
+        # the level-3 pairwise tensors one i-row block at a time under
+        # lax.scan, so the live set is bounded by the block size by
+        # construction and XLA never enters the memory-pressure serialized
+        # regime measured at N>=1536 (BASELINE.md "Frontier, post-rank-R").
+        nt = _blocked_nt(adj, phi_r, a_i, b_j, neigh_c + ve, deg, m1, b1,
+                         F, R, block_rows, acc, dt)
     else:
-        # the N³ term: Σ_k A[j,k]·f[i,k] with f = φ(rel)@M1f, reassociated —
-        # contract the mask against the R-channel φ(rel) (a square batched
-        # matmul for R=1), then project R→h0.  Comm-free under node sharding
-        # (adj replicated, rf/output row-blocked on i).
-        rf = tag(shard_nodes(
-            jnp.einsum("bjk,bikr->bijr", adj, phi_r,
-                       preferred_element_type=acc).astype(dt),
-            tag="sgc.rf"), "sgc.rf")                     # [B,N,N,R]
-        wf = tag(dot(rf, m1[3 * F + 2 * R :]), "sgc.wf")  # [B,N,N,h0]
-        m3_sum = (
-            deg[:, None, :, None] * (a_i[:, :, None] + b_j[:, None, :] + d_ij + b1)
-            + (neigh_c + ve)[:, None, :]
-            + wf
-        )
-        m3_sum = adj[..., None] * m3_sum                 # A[i,j] mask  [B,N,N,h0]
-        m3_sum = tag(shard_nodes(m3_sum, tag="sgc.m3_sum"), "sgc.m3_sum")
+        # d_ij is additive inside the mask, so it stays pairwise ([B,N,N,h0],
+        # node-sharding hint: first node axis over the mesh's 'model' axis)
+        d_ij = tag(shard_nodes(dot(phi_r, m1[3 * F : 3 * F + R]),
+                               tag="sgc.d_ij"), "sgc.d_ij")
+        if use_pallas:
+            # fused Pallas kernel: the N³ matmul + combine + mask in one VMEM
+            # pass (nn/pallas/blocked_spmm.py); j-only terms fold into v_j.
+            # The kernel consumes the pre-projected f_ik (the pre-reassociation
+            # formulation — identical values)
+            from .pallas import motif_combine
+
+            f_ik = shard_nodes(dot(phi_r, m1[3 * F + 2 * R :]), tag="sgc.f_ik")
+            v_combined = deg[..., None] * b_j + neigh_c + ve
+            m3_sum = motif_combine(adj, a_i, d_ij, v_combined, f_ik, b1)
+        else:
+            # the N³ term: Σ_k A[j,k]·f[i,k] with f = φ(rel)@M1f, reassociated —
+            # contract the mask against the R-channel φ(rel) (a square batched
+            # matmul for R=1), then project R→h0.  Comm-free under node sharding
+            # (adj replicated, rf/output row-blocked on i).
+            rf = tag(shard_nodes(
+                jnp.einsum("bjk,bikr->bijr", adj, phi_r,
+                           preferred_element_type=acc).astype(dt),
+                tag="sgc.rf"), "sgc.rf")                     # [B,N,N,R]
+            wf = tag(dot(rf, m1[3 * F + 2 * R :]), "sgc.wf")  # [B,N,N,h0]
+            m3_sum = (
+                deg[:, None, :, None] * (a_i[:, :, None] + b_j[:, None, :] + d_ij + b1)
+                + (neigh_c + ve)[:, None, :]
+                + wf
+            )
+            m3_sum = adj[..., None] * m3_sum                 # A[i,j] mask  [B,N,N,h0]
+            m3_sum = tag(shard_nodes(m3_sum, tag="sgc.m3_sum"), "sgc.m3_sum")
+        nt = jnp.einsum("bij,bijh->bih", adj, lrelu(m3_sum),
+                        preferred_element_type=acc).astype(dt)  # [B,N,h0]
 
     # --- level 2: masked pair sum, fully reassociated --------------------
     #   m2_sum[i] = Σ_j A[i,j]·(p_i + q_j + s_ij + t_ij + b2)
@@ -191,8 +240,6 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
     # against φ(rel) (= nr, reused) and φ(m3_sum) first, then project.
     p_i = dot(phi_x, m2[0:F])                            # [B,N,h1]
     nq = dot(nx, m2[F : 2 * F])                          # Σ_j A[i,j]·q_j
-    nt = jnp.einsum("bij,bijh->bih", adj, lrelu(m3_sum),
-                    preferred_element_type=acc).astype(dt)      # [B,N,h0]
     m2_sum = (
         deg[..., None] * (p_i + b2)
         + nq
@@ -208,6 +255,65 @@ def spatial_graph_conv(adj, x, rel, params, use_pallas: bool = False) -> jnp.nda
         + b3
     )
     return out
+
+
+def _blocked_nt(adj, phi_r, a_i, b_j, neigh_j, deg, m1, b1, F, R,
+                block_rows: int, acc, dt) -> jnp.ndarray:
+    """Blocked streamed level-3: nt[i] = Σ_j A[i,j]·φ(m3_sum[i,j]) computed
+    one i-row block at a time under ``lax.scan``.
+
+    Identical arithmetic to the unblocked rank-R path (the j/k sums are
+    row-local, so i-blocking does not reassociate anything — float64-oracle
+    tested), but the [B,Nb,N,·] pairwise tensors (d_ij / rf / wf / m3_sum)
+    live only inside one checkpointed scan iteration: the forward saves only
+    the [B,Nb,h0] block outputs and the backward recomputes each block's
+    internals in turn, so the program's live set is a small multiple of one
+    block by construction.  This is the structural countermove to the
+    schedule serialization XLA adopts when the unblocked program's live set
+    nears the 16 GB chip (BASELINE.md "Frontier, post-rank-R"; the remat
+    policies could not buy it back because they change what is *saved*, not
+    the schedule).  Single-chip lever — the node-sharded mesh path uses the
+    unblocked form with shard_nodes hints instead."""
+    B, N = adj.shape[0], adj.shape[1]
+    if N % block_rows != 0:
+        raise ValueError(
+            f"motif block_rows={block_rows} must divide num_nodes={N}"
+        )
+    nb = N // block_rows
+    h0 = m1.shape[1]
+    m1_d = m1[3 * F : 3 * F + R]
+    m1_f = m1[3 * F + 2 * R :]
+
+    dot = lambda t, w: jnp.einsum(
+        "...f,fo->...o", t, w, preferred_element_type=acc
+    ).astype(dt)
+
+    # block the i axis: [B,N,...] -> [nb, B, block_rows, ...]
+    blk = lambda t: jnp.moveaxis(
+        t.reshape((t.shape[0], nb, block_rows) + t.shape[2:]), 1, 0
+    )
+    xs = (blk(phi_r), blk(a_i), blk(adj))
+
+    def body(carry, inp):
+        pr, ai, adjb = inp      # [B,Nb,N,R], [B,Nb,h0], [B,Nb,N]
+        d_ij = dot(pr, m1_d)                                  # [B,Nb,N,h0]
+        rf = jnp.einsum("bjk,bikr->bijr", adj, pr,
+                        preferred_element_type=acc).astype(dt)  # [B,Nb,N,R]
+        wf = dot(rf, m1_f)                                    # [B,Nb,N,h0]
+        m3 = (
+            deg[:, None, :, None] * (ai[:, :, None] + b_j[:, None, :] + d_ij + b1)
+            + neigh_j[:, None, :]
+            + wf
+        )
+        m3 = adjb[..., None] * m3
+        nt_blk = jnp.einsum("bij,bijh->bih", adjb, lrelu(m3),
+                            preferred_element_type=acc).astype(dt)
+        return carry, nt_blk
+
+    _, nts = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), None, xs
+    )                                                          # [nb,B,Nb,h0]
+    return jnp.moveaxis(nts, 0, 1).reshape(B, N, h0)
 
 
 def spatial_graph_conv_dense_oracle(adj, x, rel, params) -> jnp.ndarray:

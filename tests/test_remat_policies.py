@@ -55,7 +55,7 @@ def _loss_and_grads(cfg, batch, params=None):
     return params, float(loss), grads
 
 
-POLICIES = [None, "recompute-big", "dots-no-batch"]
+POLICIES = [None, "recompute-big", "dots-no-batch", "offload-big"]
 
 
 @pytest.mark.parametrize("family", ["disentangled", "base"])
@@ -96,11 +96,50 @@ def test_remat_policy_3d_family():
         )
 
 
+@pytest.mark.parametrize("family", ["disentangled", "base"])
+def test_blocked_motif_lowering_preserves_loss_and_grads(family):
+    """Config.motif_block_rows (the blocked streamed lowering,
+    nn/spatial_conv._blocked_nt) is a scheduling change only: loss and
+    gradients match the monolithic step bit-for-bit tolerances."""
+    cfg = _cfg(model_type=family)
+    batch = load_dataset(cfg, "train", num_graphs=2)
+    params, base_loss, base_grads = _loss_and_grads(cfg, batch)
+    for block in (4, 6):
+        c2 = cfg.with_(motif_block_rows=block)
+        _, loss, grads = _loss_and_grads(c2, batch, params)
+        assert loss == pytest.approx(base_loss, rel=1e-6), (block, family)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            ),
+            base_grads, grads,
+        )
+
+
+def test_blocked_motif_composes_with_remat():
+    """block_rows under Config.remat nests a checkpointed scan inside
+    nn.remat — still semantics-preserving."""
+    cfg = _cfg(motif_block_rows=4)
+    batch = load_dataset(cfg, "train", num_graphs=2)
+    params, base_loss, base_grads = _loss_and_grads(cfg.with_(motif_block_rows=None), batch)
+    _, loss, grads = _loss_and_grads(
+        cfg.with_(remat=True, remat_policy="recompute-big"), batch, params
+    )
+    assert loss == pytest.approx(base_loss, rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        base_grads, grads,
+    )
+
+
 def test_policy_from_config_resolution():
     assert policy_from_config(False, "recompute-big") is None
     assert policy_from_config(True, None) is None
     assert policy_from_config(True, "recompute-big") is not None
     assert policy_from_config(True, "dots-no-batch") is not None
+    assert policy_from_config(True, "offload-big") is not None
     with pytest.raises(ValueError):
         policy_from_config(True, "bogus")
 

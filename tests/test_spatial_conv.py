@@ -82,6 +82,53 @@ def test_sgconv3d_matches_dense_oracle(rng, key, fully_connected):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("block_rows", [2, 4, 8])
+def test_sgconv_blocked_matches_dense_oracle(rng, key, block_rows):
+    """The blocked streamed lowering (lax.scan over i-row blocks,
+    nn/spatial_conv._blocked_nt) must equal the literal reference formula in
+    float64 — blocking is a scheduling change, not a reassociation."""
+    B, N, F, R = 2, 8, 2, 1
+    adj, x, rel = _random_graph(rng, B, N, F, R)
+    mod = SpatialGraphConv(hidden=(5, 4, 3))
+    params = mod.init(key, adj, x, rel)
+    with jax.enable_x64():
+        p64, a64, x64, r64 = _as64((params["params"], adj, x, rel))
+        got = spatial_graph_conv(a64, x64, r64, p64, block_rows=block_rows)
+        want = spatial_graph_conv_dense_oracle(a64, x64, r64, p64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_sgconv_blocked_grad_matches_unblocked(rng, key):
+    """Gradients through the checkpointed scan body must match the
+    monolithic path (same math, recomputed blockwise in backward)."""
+    B, N, F, R = 2, 8, 1, 1
+    adj, x, rel = _random_graph(rng, B, N, F, R)
+    mod = SpatialGraphConv(hidden=(6, 6, 6))
+    mod_blk = SpatialGraphConv(hidden=(6, 6, 6), block_rows=4)
+    params = mod.init(key, adj, x, rel)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, adj, x, rel) ** 2)
+
+    g = jax.grad(lambda p: loss(mod, p))(params)
+    g_blk = jax.grad(lambda p: loss(mod_blk, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g, g_blk,
+    )
+
+
+def test_sgconv_blocked_rejects_nondivisor(rng, key):
+    B, N, F, R = 1, 6, 1, 1
+    adj, x, rel = _random_graph(rng, B, N, F, R)
+    mod = SpatialGraphConv(hidden=(4, 4, 4), block_rows=4)  # 4 does not divide 6
+    with pytest.raises(ValueError, match="must divide"):
+        mod.init(key, adj, x, rel)
+
+
 def test_sgconv_param_shapes_match_reference(key, rng):
     """Matrix shapes must mirror layers.py:158-169 for F features, R=1."""
     B, N, F, R = 1, 4, 3, 1
