@@ -353,6 +353,53 @@ def bench_full_train_3d():
         }), flush=True)
 
 
+def bench_sampling():
+    """Decode-from-prior throughput across N (the north star's "+ sample"
+    half at scale — reference test_generation, main.py:428-469; VERDICT r4
+    item 4).  The bench.py:125-149 pattern hoisted to large N: SAMPLE_REPS
+    decodes chained inside one lax.scan with a DCE-proof scalar reduction
+    carried out and fetched once (the only honest fence on this backend).
+    bf16; the separable E2E head auto-engages at N >= 96, so it carries the
+    decode at every shape here."""
+    from snd_vae_tpu.config import synthetic2_preset
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import init_state
+
+    # (n, decode batch, chained reps) — batch shrinks with the [Bd,N,N,2]
+    # adjacency decode so each timed dispatch stays seconds-scale, far under
+    # the tunnel's ~60 s kill threshold.
+    for n, bd, reps in ((100, 100, 50), (256, 32, 30), (512, 8, 20),
+                        (1024, 2, 10)):
+        cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
+            num_nodes=n, sampling_num=2,
+        )
+        cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+        data = loaders.load_dataset(cfg, "train", num_graphs=2)
+        model, state = init_state(cfg, data)
+
+        def _sample_many(params, key):
+            def body(c, k):
+                g = model.apply({"params": params}, k, bd,
+                                method=type(model).generate)
+                s = (jnp.sum(g.adj_prob.astype(jnp.float32))
+                     + jnp.sum(g.coords.astype(jnp.float32)))
+                return c + s, None
+            tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jax.random.split(key, reps))
+            return tot
+
+        sample_fn = jax.jit(_sample_many)
+        jax.device_get(sample_fn(state.params, jax.random.key(0)))  # compile
+        t0 = time.perf_counter()
+        jax.device_get(sample_fn(state.params, jax.random.key(1)))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "bench": "sampling", "n": n, "decode_batch": bd, "reps": reps,
+            "ms_per_decode": round(dt / reps * 1e3, 3),
+            "graphs_per_sec": round(reps * bd / dt, 1),
+        }), flush=True)
+
+
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
@@ -364,6 +411,7 @@ if __name__ == "__main__":
         "full_train_factored": bench_full_train_factored,
         "full_train_remat": bench_full_train_remat,
         "full_train_3d": bench_full_train_3d,
+        "sampling": bench_sampling,
     }
     wanted = sys.argv[1:] or list(benches)
     for name in wanted:

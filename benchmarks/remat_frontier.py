@@ -5,9 +5,14 @@ device_get fences — the frontier_2048.py protocol) at N in the spill regime
 under each rematerialization mode, plus the fused Pallas motif kernel
 (``--pallas``) at the shapes it was built for:
 
-    python benchmarks/remat_frontier.py <n> <variant>
+    python benchmarks/remat_frontier.py <n> <variant> [pallas] \
+        [--motif-block-rows B]
     variant ∈ none | full | recompute-big | dots-no-batch | offload-big
-    append 'pallas' to engage fused_motif_combine (e.g. "full pallas")
+    append 'pallas' to engage fused_motif_combine (e.g. "full pallas");
+    --motif-block-rows engages the blocked streamed motif lowering
+    (nn/spatial_conv.py::_blocked_nt, mirrors cli.py:354-360) — the
+    round-4 structural countermove to the N>=1536 schedule serialization,
+    measured here (VERDICT r4 item 1).
 
 One variant per process so a RESOURCE_EXHAUSTED or worker crash doesn't take
 the matrix down; the persistent compile cache absorbs recompiles.
@@ -40,14 +45,21 @@ from snd_vae_tpu.train import init_state, make_epoch_step, make_optimizer, rebat
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    variant = sys.argv[2] if len(sys.argv) > 2 else "none"
-    pallas = len(sys.argv) > 3 and sys.argv[3] == "pallas"
+    argv = list(sys.argv[1:])
+    block_rows = None
+    if "--motif-block-rows" in argv:
+        i = argv.index("--motif-block-rows")
+        block_rows = int(argv[i + 1])
+        del argv[i : i + 2]
+    n = int(argv[0]) if len(argv) > 0 else 1024
+    variant = argv[1] if len(argv) > 1 else "none"
+    pallas = len(argv) > 2 and argv[2] == "pallas"
     remat = variant != "none"
     policy = None if variant in ("none", "full") else variant
 
     print(json.dumps({"backend": jax.default_backend(), "n": n,
-                      "variant": variant, "pallas": pallas}), flush=True)
+                      "variant": variant, "pallas": pallas,
+                      "motif_block_rows": block_rows}), flush=True)
     # single-step batches (2 graphs per epoch-step dispatch) keep every
     # dispatch bounded; reps=2 except at shapes near the worker's ~60 s
     # dispatch tolerance
@@ -63,7 +75,7 @@ def main() -> None:
     # — the compiled program and step time are unaffected either way.
     cfg = synthetic2_preset(compute_dtype="bfloat16").with_(
         num_nodes=n, sampling_num=2, remat=remat, remat_policy=policy,
-        normalize_coords=True,
+        normalize_coords=True, motif_block_rows=block_rows,
     )
     if pallas:
         # the kernel is retired from the model config (VERDICT r3 item 8);
@@ -85,7 +97,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({
         "bench": "remat_frontier", "n": n, "variant": variant,
-        "pallas": pallas, "batch_graphs": 2,
+        "pallas": pallas, "motif_block_rows": block_rows, "batch_graphs": 2,
         "ms_per_step": round(dt * 1e3, 2),
         "graphs_per_sec": round(2.0 / dt, 2),
         "loss": round(loss, 5),

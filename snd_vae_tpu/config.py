@@ -294,15 +294,17 @@ class Config:
     #   "offload-big"    — offload the tagged residuals to host memory
     #                      instead of recomputing.
     remat_policy: Optional[str] = None
-    # blocked streamed lowering of the third-order motif conv: produce and
-    # consume the level-3 pairwise tensors (d_ij/rf/wf/m3_sum) one i-row
+    # blocked streamed lowering of the motif convs: produce and consume the
+    # pairwise tensors (third-order: d_ij/rf/wf/m3_sum; fourth-order: the
+    # O(B·N³·h) m4_sum and every i-indexed level-4/3 tensor) one i-row
     # block at a time under lax.scan with a checkpointed body, so the live
-    # set is a small multiple of one [B,S,block,N,h] slab by construction
-    # (nn/spatial_conv._blocked_nt).  The single-chip lever for N >= 1536,
-    # where the monolithic program's live set nears the 16 GB chip and XLA
-    # falls into a serialized schedule that remat policies cannot undo
-    # (BASELINE.md "Frontier, post-rank-R").  None = monolithic (fastest at
-    # every N <= 1024); a value must divide num_nodes.
+    # set is a small multiple of one [B,S,block,N,(N,)h] slab by
+    # construction (nn/spatial_conv._blocked_nt / ._blocked_nt_3d).  A
+    # single-chip memory lever for frontier N, where the monolithic
+    # program's live set nears the 16 GB chip and XLA falls into a
+    # serialized schedule that remat policies cannot undo (measured
+    # blocked-vs-monolithic numbers: BASELINE.md "Frontier, post-rank-R").
+    # None = monolithic; a value must divide num_nodes.
     motif_block_rows: Optional[int] = None
 
     @property

@@ -95,7 +95,9 @@ class DisentangledSNDVAE(nn.Module):
                 out = hidden[0] if isinstance(hidden, (tuple, list)) else hidden
                 sg_convs.append(ops.StructGraphConv(out))
             elif cfg.uses_3d_conv:
-                sg_convs.append(sgc3(tuple(hidden)))
+                sg_convs.append(
+                    sgc3(tuple(hidden), block_rows=cfg.motif_block_rows)
+                )
             else:
                 sg_convs.append(
                     sgc(tuple(hidden), block_rows=cfg.motif_block_rows)

@@ -55,7 +55,10 @@ class JointSNDVAE(nn.Module):
             if cfg.remat else ops.SpatialGraphConv
         )
         if cfg.uses_3d_conv:
-            self.sg_convs = [sgc3(tuple(h)) for h in enc.sg_conv_hidden]
+            self.sg_convs = [
+                sgc3(tuple(h), block_rows=cfg.motif_block_rows)
+                for h in enc.sg_conv_hidden
+            ]
         else:
             self.sg_convs = [
                 sgc(tuple(h), block_rows=cfg.motif_block_rows)

@@ -82,6 +82,64 @@ def test_sgconv3d_matches_dense_oracle(rng, key, fully_connected):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("block_rows", [2, 3, 6])
+@pytest.mark.parametrize("fully_connected", [False, True])
+def test_sgconv3d_blocked_matches_dense_oracle(rng, key, block_rows,
+                                               fully_connected):
+    """The fourth-order blocked streamed lowering (_blocked_nt_3d) must
+    equal the literal reference formula (layers.py:200-277) in float64 —
+    i-blocking is a scheduling change, not a reassociation."""
+    B, N, F, R = 1, 6, 2, 1
+    adj, x, rel = _random_graph(rng, B, N, F, R)
+    mod = SpatialGraphConv3D(hidden=(4, 3, 3, 2),
+                             fully_connected=fully_connected)
+    params = mod.init(key, adj, x, rel)
+    with jax.enable_x64():
+        p64, a64, x64, r64 = _as64((params["params"], adj, x, rel))
+        if fully_connected:
+            r_in = jnp.concatenate([r64, a64[..., None]], axis=-1)
+        else:
+            r_in = r64
+        got = spatial_graph_conv_3d(a64, x64, r_in, r64, p64,
+                                    fully_connected=fully_connected,
+                                    block_rows=block_rows)
+        want = spatial_graph_conv_3d_dense_oracle(
+            a64, x64, r_in, r64, p64, fully_connected=fully_connected
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_sgconv3d_blocked_grad_matches_unblocked(rng, key):
+    """Gradients through the checkpointed 3D scan body must match the
+    monolithic path (same math, recomputed blockwise in backward)."""
+    B, N, F, R = 1, 6, 1, 1
+    adj, x, rel = _random_graph(rng, B, N, F, R)
+    mod = SpatialGraphConv3D(hidden=(4, 4, 4, 4))
+    mod_blk = SpatialGraphConv3D(hidden=(4, 4, 4, 4), block_rows=3)
+    params = mod.init(key, adj, x, rel)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, adj, x, rel) ** 2)
+
+    g = jax.grad(lambda p: loss(mod, p))(params)
+    g_blk = jax.grad(lambda p: loss(mod_blk, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g, g_blk,
+    )
+
+
+def test_sgconv3d_blocked_rejects_nondivisor(rng, key):
+    B, N, F, R = 1, 5, 1, 1
+    adj, x, rel = _random_graph(rng, B, N, F, R)
+    mod = SpatialGraphConv3D(hidden=(3, 3, 3, 3), block_rows=4)
+    with pytest.raises(ValueError, match="must divide"):
+        mod.init(key, adj, x, rel)
+
+
 @pytest.mark.parametrize("block_rows", [2, 4, 8])
 def test_sgconv_blocked_matches_dense_oracle(rng, key, block_rows):
     """The blocked streamed lowering (lax.scan over i-row blocks,
