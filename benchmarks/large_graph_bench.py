@@ -328,29 +328,58 @@ def bench_full_train_3d():
     )
 
     for n, reps in ((64, 20), (128, 8)):
-        cfg = protein_preset(compute_dtype="bfloat16").with_(
-            num_nodes=n, sampling_num=2,
-        )
-        cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
-        data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
-        batched = rebatch(data, 2)        # [reps, 2, ...]
-        model, state = init_state(cfg, data)
-        step = make_epoch_step(cfg, model, make_optimizer(cfg))
+        _one_3d_row(n, reps, block_rows=None)
 
+
+def bench_full_train_3d_blocked():
+    """The fourth-order blocked streamed lowering (_blocked_nt_3d,
+    Config.motif_block_rows) at and past the 3D family's measured range:
+    the O(B·N³·h0) m4_sum is the 3D frontier's live-set driver, and
+    i-blocking bounds it to one [B,block,N,N,h0] slab per scan iteration.
+    Monolithic vs blocked at each N."""
+    for n, reps, blocks in ((128, 8, (64,)), (192, 4, (64, 96)),
+                            (256, 2, (64, 128))):
+        _one_3d_row(n, reps, block_rows=None)
+        for b in blocks:
+            _one_3d_row(n, reps, block_rows=b)
+
+
+def _one_3d_row(n: int, reps: int, block_rows=None):
+    from snd_vae_tpu.config import protein_preset
+    from snd_vae_tpu.data import loaders
+    from snd_vae_tpu.train import (
+        init_state, make_epoch_step, make_optimizer, rebatch,
+    )
+
+    cfg = protein_preset(compute_dtype="bfloat16").with_(
+        num_nodes=n, sampling_num=2, motif_block_rows=block_rows,
+    )
+    cfg = cfg.with_(train=cfg.train.__class__(batch_size=2))
+    data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
+    batched = rebatch(data, 2)        # [reps, 2, ...]
+    model, state = init_state(cfg, data)
+    step = make_epoch_step(cfg, model, make_optimizer(cfg))
+    row = {"bench": "full_train_step_3d", "n": n, "batch_graphs": 2,
+           "motif_block_rows": block_rows,
+           "reference_dense_intermediate_GB_per_graph": round(
+               n**4 * 10 * 4 / 2**30, 2
+           )}
+    try:
         state, aux = step(state, batched)
         jax.device_get(aux["loss"])          # compile + warm
         t0 = time.perf_counter()
         state, aux = step(state, batched)
         jax.device_get(aux["loss"])
         dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({
-            "bench": "full_train_step_3d", "n": n, "batch_graphs": 2,
-            "ms_per_step": round(dt * 1e3, 2),
-            "graphs_per_sec": round(2.0 / dt, 1),
-            "reference_dense_intermediate_GB_per_graph": round(
-                n**4 * 10 * 4 / 2**30, 2
-            ),
-        }), flush=True)
+        row["ms_per_step"] = round(dt * 1e3, 2)
+        row["graphs_per_sec"] = round(2.0 / dt, 1)
+    except Exception as e:                   # OOM is a data point here
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+            row["oom"] = True
+        else:
+            row["error"] = msg[:200]
+    print(json.dumps(row), flush=True)
 
 
 def bench_sampling():
@@ -411,6 +440,7 @@ if __name__ == "__main__":
         "full_train_factored": bench_full_train_factored,
         "full_train_remat": bench_full_train_remat,
         "full_train_3d": bench_full_train_3d,
+        "full_train_3d_blocked": bench_full_train_3d_blocked,
         "sampling": bench_sampling,
     }
     wanted = sys.argv[1:] or list(benches)

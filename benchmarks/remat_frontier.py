@@ -7,7 +7,9 @@ under each rematerialization mode, plus the fused Pallas motif kernel
 
     python benchmarks/remat_frontier.py <n> <variant> [pallas] \
         [--motif-block-rows B]
-    variant ∈ none | full | recompute-big | dots-no-batch | offload-big
+    variant ∈ none | full | recompute-big | dots-no-batch
+    (offload-big was measured here at 136.4 s/step vs 0.34 s no-remat at
+    N=1024 on 2026-08-20 and deleted from the policy set)
     append 'pallas' to engage fused_motif_combine (e.g. "full pallas");
     --motif-block-rows engages the blocked streamed motif lowering
     (nn/spatial_conv.py::_blocked_nt, mirrors cli.py:354-360) — the
@@ -41,7 +43,9 @@ enable_compilation_cache()
 
 from snd_vae_tpu.config import synthetic2_preset
 from snd_vae_tpu.data import loaders
-from snd_vae_tpu.train import init_state, make_epoch_step, make_optimizer, rebatch
+from snd_vae_tpu.train import (
+    init_state, make_epoch_step, make_optimizer, make_train_step, rebatch,
+)
 
 
 def main() -> None:
@@ -51,6 +55,17 @@ def main() -> None:
         i = argv.index("--motif-block-rows")
         block_rows = int(argv[i + 1])
         del argv[i : i + 2]
+    # --single-step: time bare make_train_step dispatches (one device_get
+    # fence per step) instead of the 2-batch epoch scan.  The blocked motif
+    # lowering already nests a checkpointed lax.scan inside the step; adding
+    # the epoch scan on top gives the remote compiler a scan-in-scan program
+    # that did not finish compiling in 40 min at N=1536 (measured 2026-08-20)
+    # — the same pathology BASELINE.md records for nested multi-epoch scans.
+    # At frontier shapes the ~100 ms fetch RTT is <2% of an 8 s step, so
+    # per-step fencing is honest here.
+    single_step = "--single-step" in argv
+    if single_step:
+        argv.remove("--single-step")
     n = int(argv[0]) if len(argv) > 0 else 1024
     variant = argv[1] if len(argv) > 1 else "none"
     pallas = len(argv) > 2 and argv[2] == "pallas"
@@ -87,17 +102,33 @@ def main() -> None:
     data = loaders.load_dataset(cfg, "train", num_graphs=2 * reps)
     batched = rebatch(data, 2)
     model, state = init_state(cfg, data)
-    step = make_epoch_step(cfg, model, make_optimizer(cfg))
 
-    state, aux = step(state, batched)
-    jax.device_get(aux["loss"])          # compile + warm
-    t0 = time.perf_counter()
-    state, aux = step(state, batched)
-    loss = float(jax.device_get(aux["loss"])[-1])
-    dt = (time.perf_counter() - t0) / reps
+    if single_step:
+        import jax.numpy as jnp
+
+        step = make_train_step(cfg, model, make_optimizer(cfg))
+        one = jax.tree.map(lambda x: x[0], batched)
+        gi = jnp.asarray(0.0)
+        state, aux = step(state, one, gi)
+        jax.device_get(aux["loss"])      # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, aux = step(state, one, gi)
+            jax.device_get(aux["loss"])  # per-step fence (<2% of the step)
+        loss = float(jax.device_get(aux["loss"]))
+        dt = (time.perf_counter() - t0) / reps
+    else:
+        step = make_epoch_step(cfg, model, make_optimizer(cfg))
+        state, aux = step(state, batched)
+        jax.device_get(aux["loss"])          # compile + warm
+        t0 = time.perf_counter()
+        state, aux = step(state, batched)
+        loss = float(jax.device_get(aux["loss"])[-1])
+        dt = (time.perf_counter() - t0) / reps
     print(json.dumps({
         "bench": "remat_frontier", "n": n, "variant": variant,
-        "pallas": pallas, "motif_block_rows": block_rows, "batch_graphs": 2,
+        "pallas": pallas, "motif_block_rows": block_rows,
+        "single_step": single_step, "batch_graphs": 2,
         "ms_per_step": round(dt * 1e3, 2),
         "graphs_per_sec": round(2.0 / dt, 2),
         "loss": round(loss, 5),

@@ -359,7 +359,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "num_nodes; single-chip memory lever for N>=1536 — "
                         "see Config.motif_block_rows)")
     p.add_argument("--remat-policy", default=None, dest="remat_policy",
-                   choices=["recompute-big", "dots-no-batch", "offload-big"],
+                   choices=["recompute-big", "dots-no-batch"],
                    help="selective remat policy over the checkpoint_name-"
                         "tagged N^2 intermediates (implies --remat; see "
                         "Config.remat_policy)")

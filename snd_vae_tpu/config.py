@@ -290,9 +290,10 @@ class Config:
     #                      N² residuals (strictly less recompute than full
     #                      remat at the same big-tensor savings);
     #   "dots-no-batch"  — jax.checkpoint_policies.checkpoint_dots_with_no_
-    #                      batch_dims (save unbatched matmuls only);
-    #   "offload-big"    — offload the tagged residuals to host memory
-    #                      instead of recomputing.
+    #                      batch_dims (save unbatched matmuls only).
+    # (An "offload-big" host-offload policy was measured 400x slower than
+    # no-remat at N=1024 on the tunneled backend and deleted — BASELINE.md
+    # "Selective rematerialization", 2026-08-20.)
     remat_policy: Optional[str] = None
     # blocked streamed lowering of the motif convs: produce and consume the
     # pairwise tensors (third-order: d_ij/rf/wf/m3_sum; fourth-order: the

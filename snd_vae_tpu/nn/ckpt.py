@@ -15,9 +15,12 @@ point between the extremes:
     recomputes only their producers instead of the whole module.
   * ``dots-no-batch`` — jax.checkpoint_policies.checkpoint_dots_with_no_
     batch_dims_saveable: the classic save-small-matmuls policy.
-  * ``offload-big`` — save the named N² tensors to HOST memory instead of
-    recomputing (jax.checkpoint_policies.save_and_offload_only_these_names);
-    trades recompute FLOPs for PCIe/DMA traffic.
+
+An ``offload-big`` policy (save the named tensors to HOST memory via
+save_and_offload_only_these_names) existed through round 4; it was measured
+at N=1024 on 2026-08-20 at 136.4 s/step vs 0.34 s no-remat — the tunneled
+worker's device<->host path is ~400x too slow for per-step residual
+traffic — and deleted (BASELINE.md "Selective rematerialization").
 
 Tags are identity outside a ``jax.checkpoint`` region, so the hot ops carry
 them unconditionally.
@@ -74,13 +77,7 @@ def policy_from_config(remat: bool, remat_policy: Optional[str]):
         return cp.save_anything_except_these_names(*BIG_NAMES)
     if remat_policy == "dots-no-batch":
         return cp.checkpoint_dots_with_no_batch_dims
-    if remat_policy == "offload-big":
-        return cp.save_and_offload_only_these_names(
-            names_which_can_be_saved=(),
-            names_which_can_be_offloaded=list(BIG_NAMES),
-            offload_src="device", offload_dst="pinned_host",
-        )
     raise ValueError(
         f"unknown remat_policy {remat_policy!r}; "
-        "expected recompute-big | dots-no-batch | offload-big"
+        "expected recompute-big | dots-no-batch"
     )

@@ -55,7 +55,9 @@ def _loss_and_grads(cfg, batch, params=None):
     return params, float(loss), grads
 
 
-POLICIES = [None, "recompute-big", "dots-no-batch", "offload-big"]
+# "offload-big" was measured 400x slower than no-remat at N=1024 on the
+# tunneled backend and deleted (BASELINE.md "Selective rematerialization")
+POLICIES = [None, "recompute-big", "dots-no-batch"]
 
 
 @pytest.mark.parametrize("family", ["disentangled", "base"])
@@ -139,9 +141,10 @@ def test_policy_from_config_resolution():
     assert policy_from_config(True, None) is None
     assert policy_from_config(True, "recompute-big") is not None
     assert policy_from_config(True, "dots-no-batch") is not None
-    assert policy_from_config(True, "offload-big") is not None
     with pytest.raises(ValueError):
         policy_from_config(True, "bogus")
+    with pytest.raises(ValueError):  # deleted policy must not silently noop
+        policy_from_config(True, "offload-big")
 
 
 def test_big_names_cover_tag_sites():
