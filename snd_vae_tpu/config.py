@@ -300,12 +300,15 @@ class Config:
     # O(B·N³·h) m4_sum and every i-indexed level-4/3 tensor) one i-row
     # block at a time under lax.scan with a checkpointed body, so the live
     # set is a small multiple of one [B,S,block,N,(N,)h] slab by
-    # construction (nn/spatial_conv._blocked_nt / ._blocked_nt_3d).  A
-    # single-chip memory lever for frontier N, where the monolithic
-    # program's live set nears the 16 GB chip and XLA falls into a
-    # serialized schedule that remat policies cannot undo (measured
-    # blocked-vs-monolithic numbers: BASELINE.md "Frontier, post-rank-R").
-    # None = monolithic; a value must divide num_nodes.
+    # construction (nn/spatial_conv._blocked_nt / ._blocked_nt_3d).
+    # Measured 2026-08-20 (BASELINE.md): for the THIRD-order family this is
+    # a memory lever only — at N=1536 it bounds the live set to ~1 GB but
+    # moves the 8 s step -0.6% (the slowdown at that shape is intrinsic,
+    # not memory pressure; shard nodes over the mesh instead) and costs
+    # 2.6x at N<=256.  For the FOURTH-order (3D) family it is a measured
+    # throughput WIN: -21%/-19% at N=192/256 with block 64 (the O(N³·h)
+    # m4_sum hits GB-scale far earlier).  None = monolithic; a value must
+    # divide num_nodes.
     motif_block_rows: Optional[int] = None
 
     @property

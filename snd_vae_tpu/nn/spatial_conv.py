@@ -42,15 +42,18 @@ followed by an O(B·N²·h0·h1) matmul, and the [B,N,N,N,h1] t_ijk tensor
 (previously the 3D path's largest) disappears.  All reassociations are
 exact in exact arithmetic; the float64 oracle tests pin them at rtol 1e-9.
 
-Blocked streamed lowering (round 4).  At N>=1536 the monolithic program's
-live set nears the 16 GB chip and XLA adopts a serialized schedule that
-remat policies cannot undo (they change what is saved, not the op schedule
-— BASELINE.md "Frontier, post-rank-R").  ``block_rows`` streams the level-3
-pairwise tensors one i-row block at a time under a checkpointed ``lax.scan``
-(``_blocked_nt``), bounding the live set to a small multiple of one
-[B,block,N,h] slab by construction.  i-blocking does not reassociate any
-sum (the j/k reductions are row-local), so the result is float64-oracle
-equal to the dense reference formula.
+Blocked streamed lowering (rounds 4-5).  ``block_rows`` streams the
+pairwise tensors one i-row block at a time under a checkpointed
+``lax.scan`` (``_blocked_nt``; fourth-order: ``_blocked_nt_3d``), bounding
+the live set to a small multiple of one [B,block,N,(N,)h] slab by
+construction.  i-blocking does not reassociate any sum (the j/k/p
+reductions are row-local), so the result is float64-oracle equal to the
+dense reference formula.  Measured on the v5e (BASELINE.md, 2026-08-20):
+for the third-order family it is a MEMORY lever only — at N=1536 it bounds
+the live set but moves the 8 s step -0.6% (the slowdown there is intrinsic
+to the single-chip shape; the throughput lever is the node-sharded mesh) —
+while for the fourth-order 3D family it is a measured throughput WIN
+(-21%/-19% at N=192/256, block 64).
 
 Dense oracle implementations that replicate the reference's materialization
 literally are provided for testing (``*_dense_oracle``); the unit tests
@@ -268,12 +271,13 @@ def _blocked_nt(adj, phi_r, a_i, b_j, neigh_j, deg, m1, b1, F, R,
     live only inside one checkpointed scan iteration: the forward saves only
     the [B,Nb,h0] block outputs and the backward recomputes each block's
     internals in turn, so the program's live set is a small multiple of one
-    block by construction.  This is the structural countermove to the
-    schedule serialization XLA adopts when the unblocked program's live set
-    nears the 16 GB chip (BASELINE.md "Frontier, post-rank-R"; the remat
-    policies could not buy it back because they change what is *saved*, not
-    the schedule).  Single-chip lever — the node-sharded mesh path uses the
-    unblocked form with shard_nodes hints instead."""
+    block by construction.  Measured at N=1536 (BASELINE.md "Round-5
+    verdict on the blocked streamed lowering"): the bounded live set moves
+    the step -0.6% — the N>=1536 slowdown is intrinsic to the single-chip
+    shape, not memory pressure, so for the third-order family this is a
+    memory lever for configs that genuinely OOM, not a throughput lever;
+    the node-sharded mesh path (unblocked form with shard_nodes hints) is
+    the measured throughput escape."""
     B, N = adj.shape[0], adj.shape[1]
     if N % block_rows != 0:
         raise ValueError(
