@@ -69,15 +69,18 @@ def _run():
 
     # bfloat16 compute with f32 master params and f32 ELBO accumulation —
     # the standard TPU mixed-precision mode; measured 1.8x over f32 at this
-    # operating point (BASELINE.md records both).  scan_unroll=4: the N=25
-    # step is latency-bound on its sequential kernel chain, so unrolling the
-    # batch scan lets XLA schedule across step boundaries — +3% measured
-    # (benchmarks/scan_unroll_bench.py; 8 and 20 regress, so 4 is the peak).
+    # operating point (BASELINE.md records both).  scan_unroll=8: the N=25
+    # step is occupancy-bound on its chain of ~445 microsecond kernels
+    # (BASELINE.md "The graded-point MFU gap"), so unrolling the batch scan
+    # lets XLA schedule across step boundaries.  Pre-rank-R the peak was 4
+    # (8 regressed — live range too big); the rank-R reassociation shrank
+    # the live range and 8 now wins: 16,479 vs 16,206 graphs/s measured
+    # 2026-08-20 (benchmarks/scan_unroll_bench.py).
     import dataclasses
 
     cfg = synthetic2_preset(compute_dtype="bfloat16")
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, scan_unroll=4)
+        cfg, train=dataclasses.replace(cfg.train, scan_unroll=8)
     )
     B = cfg.train.batch_size  # 10 graphs x sampling_num=10 trees
     data = loaders.load_dataset(cfg, "train", num_graphs=NUM_GRAPHS)
